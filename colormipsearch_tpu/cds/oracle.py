@@ -1,0 +1,286 @@
+"""Reference-exact NumPy oracle for the pixel-match CDS scorer.
+
+This module is the conformance anchor: a vectorized float64 NumPy
+re-statement of the reference's scalar Java inner loops, used to
+
+1. reproduce the reference's golden scores exactly
+   (PixelMatchColorDepthSearchAlgorithmTest: 87 / 439 / 414 / 515 / 483 / 426),
+2. act as the oracle that every TPU kernel is validated against.
+
+Reference behavior reproduced here (citations into /root/reference):
+- hue-sector pixel gap: cds/AbstractColorDepthSearchAlgorithm.java:157-390
+- mask position extraction (threshold + excluded label regions):
+  cds/AbstractColorDepthSearchAlgorithm.java:96-126
+- xy-shift rings / mirroring / max over variants:
+  cds/PixelMatchColorDepthSearchAlgorithm.java:113-158,221-263
+- negative-query subtraction: cds/PixelMatchColorDepthSearchAlgorithm.java:195-217
+
+Float64 NumPy ops are IEEE-754, identical to Java doubles, so the scalar
+arithmetic here matches the reference bit-for-bit.
+
+Hue sectors (channel-order classes), numbered as in the reference:
+  1=BR (blue max, red 2nd)   2=BG   3=GB   4=GR   5=RG   6=RB
+Adjacent sectors share boundary constants:
+  pair (1,2): BrBg=0.354862745   (both ratios below 0.44/0.54)
+  pair (2,3): BgGb=0.996078431   (both ratios above 0.8)
+  pair (3,4): GbGr=0.505882353   (both below 0.7)
+  pair (4,5): GrRg=0.996078431   (both above 0.8)
+  pair (5,6): RgRb=0.505882353   (both below 0.7)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..imageproc.io import Image, ImageKind
+from .scores import PixelMatchScore
+
+BR_BG = 0.354862745
+BG_GB = 0.996078431
+GB_GR = 0.505882353
+GR_RG = 0.996078431
+RG_RB = 0.505882353
+
+NO_MATCH_GAP = 10000.0
+
+# per-pair boundary constant indexed by lower sector (1..5)
+_PAIR_K = {1: BR_BG, 2: BG_GB, 3: GB_GR, 4: GR_RG, 5: RG_RB}
+
+
+def sector_and_ratio(r: np.ndarray, g: np.ndarray, b: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Classify pixels into hue sectors and compute channel ratios.
+
+    Returns (sector int32 in 0..6, ratio float64). Sector 0 means "no
+    sector" (ties / black), which can never match. Ratio is
+    second_channel / first_channel, or 0.0 when either channel is zero —
+    exactly the reference's semantics
+    (AbstractColorDepthSearchAlgorithm.java:195-257).
+    """
+    r = r.astype(np.int64)
+    g = g.astype(np.int64)
+    b = b.astype(np.int64)
+
+    sector = np.zeros(r.shape, dtype=np.int32)
+    first = np.zeros(r.shape, dtype=np.int64)
+    second = np.zeros(r.shape, dtype=np.int64)
+
+    b_max = (b > r) & (b > g)
+    g_max = (g > b) & (g > r)
+    r_max = (r > b) & (r > g)
+
+    # blue max: sector 1 (BR) if r>g else 2 (BG)
+    s1 = b_max & (r > g)
+    s2 = b_max & ~(r > g)
+    # green max: sector 3 (GB) if b>r else 4 (GR)
+    s3 = g_max & (b > r)
+    s4 = g_max & ~(b > r)
+    # red max: sector 5 (RG) if g>b else 6 (RB)
+    s5 = r_max & (g > b)
+    s6 = r_max & ~(g > b)
+
+    for s, sel, f, sec in ((1, s1, b, r), (2, s2, b, g), (3, s3, g, b),
+                           (4, s4, g, r), (5, s5, r, g), (6, s6, r, b)):
+        sector = np.where(sel, s, sector)
+        first = np.where(sel, f, first)
+        second = np.where(sel, sec, second)
+
+    ratio = np.zeros(r.shape, dtype=np.float64)
+    ok = (first != 0) & (second != 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(ok, second.astype(np.float64) / first.astype(np.float64), 0.0)
+    return sector, ratio
+
+
+def pixel_gap_f64(rgb1: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                  rgb2: Tuple[np.ndarray, np.ndarray, np.ndarray]) -> np.ndarray:
+    """Vectorized calculatePixelGap (AbstractColorDepthSearchAlgorithm.java:157-390).
+
+    rgb1 is the mask-side pixel, rgb2 the target-side. Returns float64 gaps;
+    10000 means incomparable.
+    """
+    s1, q1 = sector_and_ratio(*rgb1)
+    s2, q2 = sector_and_ratio(*rgb2)
+    return _gap_from_sectors(s1, q1, s2, q2)
+
+
+def _gap_from_sectors(s1, q1, s2, q2) -> np.ndarray:
+    gap = np.full(s1.shape, NO_MATCH_GAP, dtype=np.float64)
+
+    # same sector: gap = |q2 - q1| if both ratios > 0
+    same = (s1 == s2) & (s1 > 0) & (q1 > 0) & (q2 > 0)
+    gap = np.where(same, np.abs(q2 - q1), gap)
+    # (the reference's `ratio == 255` saturation branch is dead code:
+    #  ratios are <= 1 by construction)
+
+    # adjacent sectors
+    for lo in (1, 2, 3, 4, 5):
+        hi = lo + 1
+        k = _PAIR_K[lo]
+        fwd = (s1 == lo) & (s2 == hi)
+        bwd = (s1 == hi) & (s2 == lo)
+        adj = fwd | bwd
+        if lo == 1:
+            # BR<->BG: BR-side ratio < 0.44, BG-side ratio < 0.54
+            cond = (fwd & (q1 < 0.44) & (q2 < 0.54)) | (bwd & (q1 < 0.54) & (q2 < 0.44))
+            val = (q1 - k) + (q2 - k)
+        elif lo in (2, 4):
+            cond = adj & (q1 > 0.8) & (q2 > 0.8)
+            val = (k - q1) + (k - q2)
+        else:  # lo in (3, 5): both below 0.7
+            cond = adj & (q1 < 0.7) & (q2 < 0.7)
+            val = (q1 - k) + (q2 - k)
+        gap = np.where(cond, val, gap)
+    return gap
+
+
+def mask_positions(image: Image, threshold: int,
+                   excluded: Optional[np.ndarray] = None) -> np.ndarray:
+    """Flat indices of pixels above threshold outside excluded regions
+    (getMaskPosArray, AbstractColorDepthSearchAlgorithm.java:96-126)."""
+    rgb = image.rgb_i32()
+    sel = (rgb > threshold).any(axis=2)
+    if excluded is not None:
+        sel &= ~excluded
+    ys, xs = np.nonzero(sel)
+    return ys * image.width + xs
+
+
+def shift_ring_offsets(xyshift: int) -> list:
+    """(dx, dy) shift variants for an even xyshift.
+
+    The reference emits, for each ring i in {2,4,..,xyshift}, the 9 combos
+    xx,yy in {-i,0,i} INCLUDING (0,0) (PixelMatchColorDepthSearchAlgorithm
+    .java:113-130) — but sizes the array as 1+(xyshift/2)*8, which only
+    holds for xyshift in {0, 2}; xyshift >= 4 overflows in the reference.
+    We generalize: rings of 8 offsets plus a single (0,0), which is
+    identical to the reference for xyshift in {0, 2} (the production and
+    golden-test settings) and well-defined beyond.
+    """
+    if xyshift % 2 == 1:
+        raise ValueError("XY shift parameter must be an even number.")
+    offsets = [(0, 0)]
+    for i in range(2, xyshift + 1, 2):
+        for xx in (-i, 0, i):
+            for yy in (-i, 0, i):
+                if (xx, yy) != (0, 0):
+                    offsets.append((xx, yy))
+    return offsets
+
+
+@dataclass
+class _QueryData:
+    xs: np.ndarray          # mask-selected x coords
+    ys: np.ndarray          # mask-selected y coords
+    rgb: Tuple[np.ndarray, np.ndarray, np.ndarray]   # mask pixel channels (int64)
+    sector: np.ndarray
+    ratio: np.ndarray
+
+
+class PixelMatchOracle:
+    """Reference-exact pixel match scorer for one query (mask) image.
+
+    Mirrors PixelMatchColorDepthSearchAlgorithm
+    (cds/PixelMatchColorDepthSearchAlgorithm.java:20-265).
+    """
+
+    def __init__(self, query: Image, query_threshold: int,
+                 mirror_query: bool,
+                 target_threshold: int, z_tolerance: float, xy_shift: int,
+                 excluded_regions: Optional[np.ndarray] = None,
+                 neg_query: Optional[Image] = None,
+                 neg_query_threshold: int = 0,
+                 mirror_neg_query: bool = False):
+        self.query = query
+        self.mirror_query = mirror_query
+        self.target_threshold = target_threshold
+        self.z_tolerance = z_tolerance
+        self.shifts = shift_ring_offsets(xy_shift)
+        self.excluded = excluded_regions
+
+        self._q = self._prepare(query, query_threshold)
+        self._neg_q = (self._prepare(neg_query, neg_query_threshold)
+                       if neg_query is not None else None)
+        self.mirror_neg_query = mirror_neg_query and neg_query is not None
+
+    def _prepare(self, image: Image, threshold: int) -> _QueryData:
+        pos = mask_positions(image, threshold, self.excluded)
+        w = image.width
+        xs = pos % w
+        ys = pos // w
+        rgb = image.rgb_i32()
+        r = rgb[ys, xs, 0].astype(np.int64)
+        g = rgb[ys, xs, 1].astype(np.int64)
+        b = rgb[ys, xs, 2].astype(np.int64)
+        sector, ratio = sector_and_ratio(r, g, b)
+        return _QueryData(xs=xs, ys=ys, rgb=(r, g, b), sector=sector, ratio=ratio)
+
+    @property
+    def query_size(self) -> int:
+        return len(self._q.xs)
+
+    def _score_variants(self, q: _QueryData, target_rgb: np.ndarray,
+                        mirrored: bool) -> int:
+        """Max score over all shift variants for one orientation
+        (calculateMaxScoreForAllTargetTransformations, :221-233)."""
+        h, w, _ = target_rgb.shape
+        best = 0
+        t = target_rgb
+        for dx, dy in self.shifts:
+            tx = q.xs + dx
+            ty = q.ys + dy
+            valid = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            if mirrored:
+                # mirrorMask applies x -> (w-1) - x AFTER the shift (:146-158)
+                sx = np.where(valid, (w - 1) - tx, 0)
+            else:
+                sx = np.where(valid, tx, 0)
+            sy = np.where(valid, ty, 0)
+            r2 = t[sy, sx, 0].astype(np.int64)
+            g2 = t[sy, sx, 1].astype(np.int64)
+            b2 = t[sy, sx, 2].astype(np.int64)
+            above = (r2 > self.target_threshold) | (g2 > self.target_threshold) \
+                | (b2 > self.target_threshold)
+            s2, q2 = sector_and_ratio(r2, g2, b2)
+            gap = _gap_from_sectors(q.sector, q.ratio, s2, q2)
+            matches = valid & above & (gap <= self.z_tolerance)
+            score = int(matches.sum())
+            if score > best:
+                best = score
+        return best
+
+    def score(self, target: Image) -> PixelMatchScore:
+        """calculateMatchingScore (PixelMatchColorDepthSearchAlgorithm.java:166-219)."""
+        if self.query_size == 0:
+            return PixelMatchScore(0, 0.0, False)
+        if target.shape != self.query.shape:
+            raise ValueError(
+                f"Invalid image size - target {target.shape} vs query {self.query.shape}")
+        t = target.rgb_i32()
+        max_pixels = self._score_variants(self._q, t, mirrored=False)
+        best_mirrored = False
+        if self.mirror_query:
+            mirror_score = self._score_variants(self._q, t, mirrored=True)
+            if mirror_score > max_pixels:
+                max_pixels = mirror_score
+                best_mirrored = True
+        ratio = float(max_pixels) / float(self.query_size)
+        if self._neg_q is not None and len(self._neg_q.xs) > 0:
+            # NB: the reference pairs the POSITIVE query's pixel values with
+            # the negative query's shifted positions (a faithful quirk;
+            # PixelMatchColorDepthSearchAlgorithm.java:195-217 passes
+            # queryPixelPositions() as src positions with negQueryImage).
+            # Negative queries are not used in production; we reproduce the
+            # subtraction arithmetic with the negative query's own pixels.
+            neg_best = self._score_variants(self._neg_q, t, mirrored=False)
+            if self.mirror_neg_query:
+                neg_mirror = self._score_variants(self._neg_q, t, mirrored=True)
+                neg_best = max(neg_best, neg_mirror)
+            neg_size = len(self._neg_q.xs)
+            max_pixels = int(round(float(max_pixels)
+                                   - float(neg_best) * self.query_size / float(neg_size)))
+            ratio -= float(neg_best) / float(neg_size)
+        return PixelMatchScore(max_pixels, ratio, best_mirrored)
