@@ -1,0 +1,176 @@
+"""Storage-agnostic data I/O interfaces.
+
+Counterparts of colormipsearch-persist dataio/*.java: the same
+reader/writer split (CDMIPsReader/Writer, NeuronMatchesReader/Writer,
+dataio/NeuronMatchesReader.java, dataio/CDMIPsWriter.java) so that a DB
+backend can be added without touching compute, plus DataSourceParam
+(dataio/DataSourceParam.java) and ScoresFilter
+(datarequests/ScoresFilter.java:8-41).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Set
+
+from ..model.entities import CDMatchEntity, NeuronEntity
+
+
+@dataclass
+class DataSourceParam:
+    """Input selector (dataio/DataSourceParam.java): alignment space,
+    libraries, mip IDs, names, datasets, tags, offsets."""
+    alignment_space: Optional[str] = None
+    libraries: List[str] = field(default_factory=list)
+    mip_ids: List[str] = field(default_factory=list)
+    names: List[str] = field(default_factory=list)
+    datasets: Set[str] = field(default_factory=set)
+    tags: Set[str] = field(default_factory=set)
+    excluded_tags: Set[str] = field(default_factory=set)
+    annotations: Set[str] = field(default_factory=set)
+    excluded_annotations: Set[str] = field(default_factory=set)
+    processing_tags: Dict[str, Set[str]] = field(default_factory=dict)
+    offset: int = 0
+    size: int = -1
+
+    def matches_entity(self, e: NeuronEntity) -> bool:
+        if self.alignment_space and e.alignment_space != self.alignment_space:
+            return False
+        if self.libraries and e.library_name not in self.libraries:
+            return False
+        if self.mip_ids and e.mip_id not in self.mip_ids:
+            return False
+        if self.names and e.published_name not in self.names:
+            return False
+        if self.datasets and not (self.datasets & e.dataset_labels):
+            return False
+        if self.tags or self.excluded_tags:
+            all_tags = set()
+            for tags in e.processed_tags.values():
+                all_tags |= tags
+            if self.tags and not (self.tags & all_tags):
+                return False
+            if self.excluded_tags and (self.excluded_tags & all_tags):
+                return False
+        if self.processing_tags:
+            for ptype_name, wanted in self.processing_tags.items():
+                have = set()
+                for ptype, tags in e.processed_tags.items():
+                    if ptype.name == ptype_name:
+                        have = tags
+                if wanted and not (wanted <= have):
+                    return False
+        return True
+
+    def apply_slice(self, items: Sequence) -> List:
+        start = self.offset if self.offset > 0 else 0
+        if self.size > 0:
+            return list(items[start:start + self.size])
+        return list(items[start:])
+
+
+@dataclass
+class ScoresFilter:
+    """Minimum-score selectors; a field name may be an OR of fields
+    joined with '|' (datarequests/ScoresFilter.java:8-41, used e.g. as
+    "gradientAreaGap|bidirectionalAreaGap" at
+    NormalizeGradientScoresCmd.java:288)."""
+    selectors: List[tuple] = field(default_factory=list)  # (fieldName, minScore)
+
+    def add(self, field_name: str, min_score: float) -> "ScoresFilter":
+        self.selectors.append((field_name, min_score))
+        return self
+
+    @property
+    def empty(self) -> bool:
+        return not self.selectors
+
+    _FIELD_GETTERS = {
+        "matchingPixels": lambda m: m.matching_pixels,
+        "matchingRatio": lambda m: m.matching_pixels_ratio,
+        "matchingPixelsRatio": lambda m: m.matching_pixels_ratio,
+        "gradientAreaGap": lambda m: m.gradient_area_gap,
+        "bidirectionalAreaGap": lambda m: m.bidirectional_area_gap,
+        "highExpressionArea": lambda m: m.high_expression_area,
+        "normalizedScore": lambda m: m.normalized_score,
+    }
+
+    def matches(self, m: CDMatchEntity) -> bool:
+        for field_name, min_score in self.selectors:
+            ok = False
+            for f in field_name.split("|"):
+                getter = self._FIELD_GETTERS.get(f)
+                if getter is None:
+                    continue
+                v = getter(m)
+                if v is not None and v >= min_score:
+                    ok = True
+                    break
+            if not ok:
+                return False
+        return True
+
+
+@dataclass
+class SortCriteria:
+    field_name: str = "matchingPixels"
+    ascending: bool = False
+
+
+class CDMIPsReader(abc.ABC):
+    """dataio/CDMIPsReader.java."""
+
+    @abc.abstractmethod
+    def read_mips(self, param: DataSourceParam) -> List[NeuronEntity]:
+        ...
+
+
+class CDMIPsWriter(abc.ABC):
+    """dataio/CDMIPsWriter.java."""
+
+    @abc.abstractmethod
+    def open(self) -> None:
+        ...
+
+    @abc.abstractmethod
+    def write(self, entities: List[NeuronEntity]) -> None:
+        ...
+
+    @abc.abstractmethod
+    def add_processing_tags(self, entities: List[NeuronEntity],
+                            processing_type, tags: Set[str]) -> None:
+        ...
+
+    @abc.abstractmethod
+    def close(self) -> None:
+        ...
+
+
+class NeuronMatchesReader(abc.ABC):
+    """dataio/NeuronMatchesReader.java."""
+
+    @abc.abstractmethod
+    def list_match_locations(self, params: List[DataSourceParam]) -> List[str]:
+        ...
+
+    @abc.abstractmethod
+    def read_matches_by_mask(self, mask_selector: DataSourceParam,
+                             target_selector: Optional[DataSourceParam] = None,
+                             scores_filter: Optional[ScoresFilter] = None,
+                             sort: Optional[SortCriteria] = None
+                             ) -> List[CDMatchEntity]:
+        ...
+
+
+class NeuronMatchesWriter(abc.ABC):
+    """dataio/NeuronMatchesWriter.java."""
+
+    @abc.abstractmethod
+    def write(self, matches: List[CDMatchEntity]) -> int:
+        ...
+
+    @abc.abstractmethod
+    def write_updates(self, matches: List[CDMatchEntity],
+                      fields: List[str]) -> int:
+        ...

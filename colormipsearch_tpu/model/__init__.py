@@ -1,0 +1,5 @@
+from .filedata import FileData, FileDataType
+from .enums import ComputeFileType, FileType, ProcessingType, Gender
+from .entities import (NeuronEntity, EMNeuronEntity, LMNeuronEntity,
+                       CDMatchEntity, PPPMatchEntity, CDSSessionEntity,
+                       entity_from_dict)

@@ -1,0 +1,94 @@
+"""Domain enums, mirroring the reference's model enums.
+
+- ComputeFileType: model/ComputeFileType.java:5-17
+- FileType: model/FileType.java:5-27 (incl. PPP suffix mapping)
+- ProcessingType: model/ProcessingType.java
+- Gender: model/Gender.java
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+
+class ComputeFileType(enum.Enum):
+    SourceColorDepthImage = "SourceColorDepthImage"
+    InputColorDepthImage = "InputColorDepthImage"
+    GradientImage = "GradientImage"
+    ZGapImage = "ZGapImage"
+    Vol3DSegmentation = "Vol3DSegmentation"
+    SkeletonSWC = "SkeletonSWC"
+    SkeletonOBJ = "SkeletonOBJ"
+    JunkImage = "JunkImage"
+
+    @classmethod
+    def from_name(cls, name: str) -> Optional["ComputeFileType"]:
+        for v in cls:
+            if v.name.lower() == name.lower():
+                return v
+        return None
+
+
+class FileType(enum.Enum):
+    # (name, optional PPP file suffix)
+    store = (None,)
+    CDM = (None,)
+    CDMThumbnail = (None,)
+    CDMInput = (None,)
+    CDMMatch = (None,)
+    CDMBest = ("_5_ch.png",)
+    CDMBestThumbnail = ("_5_ch.jpg",)
+    CDMSkel = ("_6_ch_skel.png",)
+    SignalMip = ("_1_raw.png",)
+    SignalMipMasked = ("_2_masked_raw.png",)
+    SignalMipMaskedSkel = ("_3_skel.png",)
+    Gal4Expression = (None,)
+    VisuallyLosslessStack = (None,)
+    AlignedBodySWC = (None,)
+    AlignedBodyOBJ = (None,)
+    CDSResults = (None,)
+    PPPMResults = (None,)
+
+    def __init__(self, suffix):
+        self.file_suffix = suffix
+
+    @classmethod
+    def from_name(cls, name: str) -> Optional["FileType"]:
+        for v in cls:
+            if v.name.lower() == name.lower():
+                return v
+        return None
+
+    @classmethod
+    def find_by_ppp_suffix(cls, fname: str) -> Optional["FileType"]:
+        for v in cls:
+            if v.file_suffix and fname.endswith(v.file_suffix):
+                return v
+        return None
+
+    @property
+    def display_ppp_suffix(self) -> str:
+        # strips the ordering prefix _n_ (FileType.getDisplayPPPSuffix)
+        return "" if not self.file_suffix else self.file_suffix[3:]
+
+
+class ProcessingType(enum.Enum):
+    ColorDepthSearch = "ColorDepthSearch"
+    GradientScore = "GradientScore"
+    NormalizeGradientScore = "NormalizeGradientScore"
+    PPPMatch = "PPPMatch"
+
+
+class Gender(enum.Enum):
+    f = "female"
+    m = "male"
+
+    @classmethod
+    def from_val(cls, s: Optional[str]) -> Optional["Gender"]:
+        if not s:
+            return None
+        for g in cls:
+            if s.lower() in (g.name.lower(), g.value.lower()):
+                return g
+        return None
