@@ -1,0 +1,111 @@
+"""MIP loading: FileData -> decoded Image, with caching.
+
+Counterparts of mips/NeuronMIPUtils.java:62-236 (loadComputeFile /
+loadImageFromFileData / openInputStream: plain file, directory entry, or
+zip entry with a fallback archive scan) and cmd/CachedMIPsUtils.java:19-112
+(the bounded MIP cache keyed on (neuron, computeFileType)).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import zipfile
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Optional
+
+from ..imageproc.io import Image, is_image_file, load_image
+from ..model.entities import NeuronEntity
+from ..model.enums import ComputeFileType
+from ..model.filedata import FileData, FileDataType
+
+
+@dataclass
+class NeuronMIP:
+    """A neuron entity paired with a loaded image
+    (mips/NeuronMIP.java)."""
+    neuron: NeuronEntity
+    file_data: Optional[FileData]
+    image: Optional[Image]
+
+    @property
+    def has_image(self) -> bool:
+        return self.image is not None
+
+
+def _load_from_zip(archive: str, entry: str) -> Optional[Image]:
+    with zipfile.ZipFile(archive) as zf:
+        try:
+            data = zf.read(entry)
+        except KeyError:
+            # fallback scan by basename (NeuronMIPUtils.openInputStream's
+            # full-archive scan, NeuronMIPUtils.java:177-199)
+            base = os.path.basename(entry)
+            data = None
+            for name in zf.namelist():
+                if os.path.basename(name) == base and is_image_file(name):
+                    data = zf.read(name)
+                    break
+            if data is None:
+                return None
+    return load_image(data)
+
+
+def load_image_from_filedata(fd: Optional[FileData]) -> Optional[Image]:
+    """loadImageFromFileData (NeuronMIPUtils.java:103-141)."""
+    if fd is None:
+        return None
+    if fd.data_type == FileDataType.zipEntry:
+        if not os.path.exists(fd.file_name):
+            return None
+        return _load_from_zip(fd.file_name, fd.entry_name)
+    path = fd.file_name
+    if os.path.isdir(path):
+        return None
+    if not os.path.exists(path):
+        return None
+    return load_image(path)
+
+
+def load_compute_file(neuron: NeuronEntity,
+                      file_type: ComputeFileType) -> NeuronMIP:
+    """loadComputeFile (NeuronMIPUtils.java:62-84)."""
+    fd = neuron.compute_file(file_type)
+    return NeuronMIP(neuron, fd, load_image_from_filedata(fd))
+
+
+class MIPsCache:
+    """Bounded LRU image cache keyed on (entity/mip id, compute file type)
+    (CachedMIPsUtils.java:19-112; production sizes 100k-200k entries,
+    scripts/cdsparams.sh:22-25)."""
+
+    def __init__(self, max_size: int = 100_000):
+        self.max_size = max_size
+        self._cache: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+
+    def _key(self, neuron: NeuronEntity, file_type: ComputeFileType):
+        return (neuron.entity_id or neuron.mip_id, file_type)
+
+    def load_mip(self, neuron: NeuronEntity,
+                 file_type: ComputeFileType) -> NeuronMIP:
+        if self.max_size <= 0:
+            return load_compute_file(neuron, file_type)
+        key = self._key(neuron, file_type)
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                img = self._cache[key]
+                return NeuronMIP(neuron, neuron.compute_file(file_type), img)
+        mip = load_compute_file(neuron, file_type)
+        with self._lock:
+            self._cache[key] = mip.image
+            self._cache.move_to_end(key)
+            while len(self._cache) > self.max_size:
+                self._cache.popitem(last=False)
+        return mip
+
+    def clear(self) -> None:
+        with self._lock:
+            self._cache.clear()

@@ -1,0 +1,61 @@
+"""Mesh-sharded mask x target pair sweeps.
+
+TPU-native replacement for the reference's three scale-out layers
+(SURVEY.md 2d): Reactor thread pools (P1), Spark RDD partitioning (P2),
+and LSF job-array static grid blocks (P3). The pair grid is
+block-partitioned over a ("mask", "target") mesh via shard_map; each
+device scores its (query block x target block) with the dense packed
+kernel, and per-mask cross-target maxima (needed for normalization and
+best-match selection) are jax.lax.pmax collectives over the "target"
+axis — replacing the reference's driver-side collect()
+(SparkColorMIPSearchProcessor.java:73) and Mongo-mediated reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cds.pixel_kernel import pixel_match_packed
+
+
+def local_pixel_sweep(q_words, t_padded, t_flipped, shifts, zt9: int,
+                      mirror: bool):
+    """Single-device pair block: scores [B, T], mirrored [B, T]."""
+    return pixel_match_packed(q_words, t_padded, t_flipped, shifts,
+                              zt9=zt9, mirror=mirror)
+
+
+def sharded_pixel_sweep(mesh: Mesh, q_words, t_padded, t_flipped, shifts,
+                        zt9: int, mirror: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pair sweep sharded over the mesh.
+
+    Args:
+      q_words: [B, H, W] query planes, B divisible by mesh "mask" size
+      t_padded/t_flipped: [T, Hp, Wp] target planes, T divisible by
+        mesh "target" size
+    Returns (scores [B, T], mirrored [B, T], per_mask_max [B]) with the
+    score grid sharded (mask, target) and per_mask_max replicated over
+    the target axis (a cross-chip pmax).
+    """
+
+    def block(q_blk, t_blk, tf_blk, shifts_blk):
+        scores, mirrored = pixel_match_packed(
+            q_blk, t_blk, tf_blk, shifts_blk, zt9=zt9, mirror=mirror)
+        local_max = scores.max(axis=1)
+        global_max = jax.lax.pmax(local_max, axis_name="target")
+        return scores, mirrored, global_max
+
+    fn = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P("mask", None, None), P("target", None, None),
+                  P("target", None, None), P(None, None)),
+        out_specs=(P("mask", "target"), P("mask", "target"), P("mask")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q_words, t_padded, t_flipped, shifts)

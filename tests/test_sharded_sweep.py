@@ -1,0 +1,73 @@
+"""Distributed correctness: N-chip sharded sweep == single-device scores.
+
+The reference has no distributed tests (SURVEY.md §4); here 1-chip vs
+8-virtual-chip score equality is asserted directly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+from colormipsearch_tpu.imageproc.io import image_from_array
+from colormipsearch_tpu.cds.pixel_kernel import (
+    prepare_query_planes, pack_targets, z_tolerance_to_zt9)
+from colormipsearch_tpu.cds.oracle import shift_ring_offsets
+from colormipsearch_tpu.parallel import (make_pair_mesh, local_pixel_sweep,
+                                         sharded_pixel_sweep)
+
+
+def test_sharded_equals_local(fixtures_dir):
+    rng = np.random.default_rng(7)
+    h, w = 64, 96
+    bsz, tsz = 4, 8
+
+    queries = []
+    for i in range(bsz):
+        q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        q[rng.random((h, w)) < 0.6] = 0
+        queries.append(prepare_query_planes(image_from_array(q), 20).words)
+    q_words = jnp.asarray(np.stack(queries))
+
+    targets = rng.integers(0, 256, size=(tsz, h, w, 3)).astype(np.uint8)
+    targets[rng.random((tsz, h, w)) < 0.5] = 0
+
+    zt9 = z_tolerance_to_zt9(1.0)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), dtype=np.int32))
+    t_padded, t_flipped = pack_targets(jnp.asarray(targets), 20, 2)
+
+    local_scores, local_mirrored = local_pixel_sweep(
+        q_words, t_padded, t_flipped, shifts, zt9, True)
+
+    mesh = make_pair_mesh(shape=(2, 4))
+    scores, mirrored, per_mask_max = sharded_pixel_sweep(
+        mesh, q_words, t_padded, t_flipped, shifts, zt9, True)
+
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(local_scores))
+    np.testing.assert_array_equal(np.asarray(mirrored), np.asarray(local_mirrored))
+    np.testing.assert_array_equal(np.asarray(per_mask_max),
+                                  np.asarray(local_scores).max(axis=1))
+
+
+def test_sharded_goldens(fixtures_dir):
+    """Real fixtures through the sharded path: golden scores intact."""
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    qp = prepare_query_planes(query, 20, excluded)
+    q_words = jnp.asarray(np.stack([qp.words] * 2))
+
+    lms = ["VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif",
+           "BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_HR-2483089192251293794-CH2-01_CDM.tif"]
+    targets = np.stack([load_image(fixtures_dir / "lms" / n).pixels
+                        for n in lms] * 2)
+
+    zt9 = z_tolerance_to_zt9(1.0)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), dtype=np.int32))
+    t_padded, t_flipped = pack_targets(jnp.asarray(targets), 20, 2)
+
+    mesh = make_pair_mesh(shape=(2, 4))
+    scores, mirrored, per_mask_max = sharded_pixel_sweep(
+        mesh, q_words, t_padded, t_flipped, shifts, zt9, True)
+    scores = np.asarray(scores)
+    assert list(scores[0]) == [439, 414, 439, 414]
+    assert list(scores[1]) == [439, 414, 439, 414]
+    assert np.asarray(per_mask_max).tolist() == [439, 439]
