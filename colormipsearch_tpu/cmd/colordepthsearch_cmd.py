@@ -1,0 +1,174 @@
+"""colorDepthSearch command: the full mask x target pixel-match sweep.
+
+Counterpart of cmd/ColorDepthSearchCmd.java:54-467 +
+LocalColorMIPSearchProcessor.java:38-122, re-structured TPU-first: the
+reference iterates masks and fans targets over a thread pool; here
+target batches are packed once onto the device and stay HBM-resident
+while query blocks stream through the batched kernel (SURVEY.md 2d-P1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import getpass
+import logging
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..cds.oracle import shift_ring_offsets
+from ..cds.pixel_kernel import (pack_targets, prepare_query_planes,
+                                z_tolerance_to_zt9)
+from ..dataio import (DataSourceParam, JSONCDMIPsReader, JSONCDMIPsWriter,
+                      JSONCDSSessionWriter, JSONNeuronMatchesWriter)
+from ..mips import MIPsCache
+from ..model import (CDMatchEntity, CDSSessionEntity, ComputeFileType,
+                     ProcessingType)
+from ..persist import TimebasedIdGenerator
+from ..results import partition_collection
+from .args import add_cds_params, add_common_args, excluded_regions_for, ListArg
+
+LOG = logging.getLogger(__name__)
+
+
+def add_parser(subparsers) -> None:
+    p = subparsers.add_parser(
+        "colorDepthSearch", help="pairwise color depth search")
+    add_common_args(p)
+    add_cds_params(p)
+    p.add_argument("-m", "--masks", nargs="+", required=True,
+                   help="mask MIPs JSON file(s), 'path:offset:length'")
+    p.add_argument("-i", "--targets", "--images", nargs="+", required=True,
+                   help="target MIPs JSON file(s), 'path:offset:length'")
+    p.add_argument("--masks-index", type=int, default=0)
+    p.add_argument("--masks-length", type=int, default=-1)
+    p.add_argument("--targets-index", type=int, default=0)
+    p.add_argument("--targets-length", type=int, default=-1)
+    p.add_argument("--perMaskSubdir", default="masks")
+    p.add_argument("--perTargetSubdir", default=None,
+                   help="also write per-target grouped results")
+    p.add_argument("--processing-tag", default=None)
+    p.add_argument("--write-batch-size", type=int, default=0,
+                   help="flush results every N masks (0 = at end)")
+    p.set_defaults(func=run)
+
+
+def _read_mips(files: List[str], index: int, length: int):
+    entities = []
+    for f in files:
+        la = ListArg.parse(f)
+        param = DataSourceParam(offset=la.offset, size=la.length)
+        entities.extend(JSONCDMIPsReader(la.input).read_mips(param))
+    param = DataSourceParam(offset=index, size=length)
+    return param.apply_slice(entities)
+
+
+def _load_target_images(targets, cache: MIPsCache):
+    loaded, entities = [], []
+    for t in targets:
+        mip = cache.load_mip(t, ComputeFileType.InputColorDepthImage)
+        if mip.image is None:
+            LOG.warning("no input image for target %s", t.mip_id)
+            continue
+        loaded.append(mip.image.pixels if mip.image.pixels.ndim == 3
+                      else np.repeat(mip.image.pixels[..., None], 3, axis=2))
+        entities.append(t)
+    return loaded, entities
+
+
+def run(args: argparse.Namespace) -> int:
+    import jax.numpy as jnp
+    from ..parallel.sweep import local_pixel_sweep
+
+    t_start = time.time()
+    masks = _read_mips(args.masks, args.masks_index, args.masks_length)
+    targets = _read_mips(args.targets, args.targets_index, args.targets_length)
+    LOG.info("read %d masks, %d targets", len(masks), len(targets))
+    if not masks or not targets:
+        LOG.warning("nothing to search")
+        return 0
+
+    idgen = TimebasedIdGenerator()
+    session_id = idgen.generate_id()
+    run_tag = args.processing_tag or str(session_id)
+
+    cache = MIPsCache(args.cacheSize)
+    zt9 = z_tolerance_to_zt9(args.pixColorFluctuation)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(args.xyShift),
+                                    dtype=np.int32))
+    pad = max(args.xyShift, 1)
+
+    # persist session params for provenance (ColorDepthSearchCmd.java:255-278)
+    if args.output_dir:
+        session = CDSSessionEntity(
+            entity_id=session_id, username=getpass.getuser(),
+            params={"mirrorMask": args.mirrorMask,
+                    "dataThreshold": args.dataThreshold,
+                    "maskThreshold": args.maskThreshold,
+                    "pixColorFluctuation": args.pixColorFluctuation,
+                    "xyShift": args.xyShift,
+                    "pctPositivePixels": args.pctPositivePixels},
+            masks=[{"file": f} for f in args.masks],
+            targets=[{"file": f} for f in args.targets])
+        JSONCDSSessionWriter(args.output_dir).create_session(session)
+
+    all_matches: List[CDMatchEntity] = []
+    target_parts = partition_collection(targets, args.processingPartitionSize)
+    ratio_threshold = (args.pctPositivePixels or 0.0) / 100.0
+
+    # prepare query planes once per mask (host side)
+    prepared = []
+    for mask in masks:
+        mip = cache.load_mip(mask, ComputeFileType.InputColorDepthImage)
+        if mip.image is None:
+            LOG.warning("no input image for mask %s", mask.mip_id)
+            continue
+        excluded = excluded_regions_for(args, mip.image.height, mip.image.width)
+        prepared.append((mask, prepare_query_planes(
+            mip.image, args.maskThreshold, excluded)))
+
+    for part in target_parts:
+        t_imgs, t_entities = _load_target_images(part, cache)
+        if not t_imgs:
+            continue
+        t_padded, t_flipped = pack_targets(
+            jnp.asarray(np.stack(t_imgs)), args.dataThreshold, pad)
+        for mask_block in partition_collection(prepared, args.maskBatchSize):
+            q_words = jnp.asarray(np.stack([qp.words for _, qp in mask_block]))
+            scores, mirrored = local_pixel_sweep(
+                q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
+            scores = np.asarray(scores)
+            mirrored = np.asarray(mirrored)
+            for bi, (mask, qp) in enumerate(mask_block):
+                qsize = max(qp.query_size, 1)
+                for ti, target in enumerate(t_entities):
+                    pixels = int(scores[bi, ti]) if qp.query_size else 0
+                    ratio = pixels / qsize if qp.query_size else 0.0
+                    # isMatch (ColorMIPSearch.java:42-46)
+                    if not (pixels > 0 and ratio > ratio_threshold):
+                        continue
+                    m = CDMatchEntity()
+                    m.mask_image = mask
+                    m.matched_image = target
+                    m.session_ref_id = str(session_id)
+                    m.matching_pixels = pixels
+                    m.matching_pixels_ratio = float(np.float32(ratio))
+                    m.mirrored = bool(mirrored[bi, ti])
+                    m.match_found = True
+                    m.tags.add(run_tag)
+                    mask.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)
+                    target.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)
+                    all_matches.append(m)
+
+    n_groups = 0
+    if args.output_dir:
+        import os
+        per_masks = os.path.join(args.output_dir, args.perMaskSubdir)
+        per_targets = (os.path.join(args.output_dir, args.perTargetSubdir)
+                       if args.perTargetSubdir else None)
+        writer = JSONNeuronMatchesWriter(per_masks, per_targets)
+        n_groups = writer.write(all_matches)
+    LOG.info("found %d matches (%d masks) in %.1fs",
+             len(all_matches), n_groups, time.time() - t_start)
+    return 0

@@ -1,0 +1,165 @@
+"""exportData command: NeuronBridge-style JSON export.
+
+Counterpart of cmd/ExportData4NBCmd.java + cmd/dataexport/*.java. Result
+types (cmd/ExportedResultType.java:3-12): EM_CD_MATCHES, LM_CD_MATCHES,
+EM_PPP_MATCHES, EM_MIPS, LM_MIPS. Per mask: read matches, keep the best
+match per (maskMIP, targetMIP) pair by normalizedScore
+(AbstractCDMatchesExporter.selectBestMatchPerMIPPair,
+cmd/dataexport/AbstractCDMatchesExporter.java:108-125), convert entities
+to export metadata (dto/AbstractNeuronMetadata.java fields), and write
+grouped ResultMatches JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Dict, List
+
+from ..dataio import DataSourceParam, JSONNeuronMatchesReader
+from ..model import CDMatchEntity, NeuronEntity
+from .args import add_common_args
+
+LOG = logging.getLogger(__name__)
+
+EXPORT_TYPES = ("EM_CD_MATCHES", "LM_CD_MATCHES", "EM_PPP_MATCHES",
+                "EM_MIPS", "LM_MIPS")
+
+
+def add_parser(subparsers) -> None:
+    p = subparsers.add_parser("exportData", help="export for NeuronBridge")
+    add_common_args(p)
+    p.add_argument("--exported-result-type", required=True,
+                   choices=EXPORT_TYPES)
+    p.add_argument("-md", "--matchesDir", default=None,
+                   help="per-mask matches dir (CD/PPP matches export)")
+    p.add_argument("--mips-file", default=None, help="MIP JSON (MIPs export)")
+    p.add_argument("--relative-urls-to", default=None)
+    p.add_argument("--size", type=int, default=-1,
+                   help="cap matches per mask")
+    p.set_defaults(func=run)
+
+
+def neuron_metadata(e: NeuronEntity) -> Dict:
+    """Entity -> export metadata (entity.metadata() analogue;
+    dto/AbstractNeuronMetadata.java:43-61)."""
+    d: Dict = {"mipId": e.mip_id,
+               "libraryName": e.library_name,
+               "publishedName": e.published_name,
+               "alignmentSpace": e.alignment_space}
+    gender = getattr(e, "gender", None)
+    if gender is not None:
+        d["gender"] = gender.name
+    anatomical = getattr(e, "anatomical_area", None)
+    if anatomical:
+        d["anatomicalArea"] = anatomical
+    if e.files:
+        d["files"] = {t.name: v for t, v in sorted(e.files.items(),
+                                                   key=lambda kv: kv[0].name)}
+    d["type"] = ("EMImage" if type(e).__name__.startswith("EM") else "LMImage")
+    return d
+
+
+def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
+                                   ) -> List[CDMatchEntity]:
+    """Dedupe (maskMIP, targetMIP) pairs keeping max normalizedScore
+    (AbstractCDMatchesExporter.java:108-125; first wins on ties)."""
+    best: Dict = {}
+    for m in matches:
+        if m.normalized_score is None:
+            continue
+        key = (m.mask_image.mip_id if m.mask_image else None,
+               m.matched_image.mip_id if m.matched_image else None)
+        cur = best.get(key)
+        if cur is None or m.normalized_score > cur.normalized_score:
+            best[key] = m
+    out = list(best.values())
+    out.sort(key=lambda m: -(m.normalized_score or 0))
+    return out
+
+
+def _export_cd_matches(args, by_target: bool) -> int:
+    reader = JSONNeuronMatchesReader(args.matchesDir)
+    out_dir = args.output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for mip_id in reader.list_match_locations([DataSourceParam()]):
+        matches = reader.read_matches_by_mask(DataSourceParam(mip_ids=[mip_id]))
+        selected = select_best_match_per_mip_pair(matches)
+        if args.size > 0:
+            selected = selected[:args.size]
+        if not selected:
+            continue
+        mask = selected[0].mask_image
+        results = []
+        for m in selected:
+            r = {"image": neuron_metadata(m.matched_image),
+                 "mirrored": m.mirrored,
+                 "normalizedScore": m.normalized_score,
+                 "matchingPixels": m.matching_pixels}
+            if m.match_files:
+                r["files"] = {t.name: v for t, v in m.match_files.items()}
+            results.append(r)
+        doc = {"inputImage": neuron_metadata(mask), "results": results}
+        with open(os.path.join(out_dir, f"{mip_id}.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+        n += len(results)
+    LOG.info("exported %d matches", n)
+    return 0
+
+
+def _export_mips(args) -> int:
+    from ..dataio import JSONCDMIPsReader
+    reader = JSONCDMIPsReader(args.mips_file)
+    entities = reader.read_mips(DataSourceParam())
+    out_dir = args.output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    by_name: Dict[str, List] = {}
+    for e in entities:
+        by_name.setdefault(e.published_name or "unknown", []).append(e)
+    for name, group in by_name.items():
+        doc = {"results": [neuron_metadata(e) for e in group]}
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+    LOG.info("exported %d MIPs in %d files", len(entities), len(by_name))
+    return 0
+
+
+def _export_ppp_matches(args) -> int:
+    out_dir = args.output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for fname in sorted(os.listdir(args.matchesDir)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(args.matchesDir, fname)) as f:
+            doc = json.load(f)
+        results = doc.get("results", [])
+        if args.size > 0:
+            results = results[:args.size]
+        out = {"inputImage": doc.get("inputImage"), "results": results}
+        with open(os.path.join(out_dir, fname), "w") as f:
+            json.dump(out, f, indent=2)
+        n += len(results)
+    LOG.info("exported %d PPP matches", n)
+    return 0
+
+
+def run(args: argparse.Namespace) -> int:
+    t = args.exported_result_type
+    if t in ("EM_CD_MATCHES", "LM_CD_MATCHES"):
+        if not args.matchesDir:
+            LOG.error("--matchesDir required for %s", t)
+            return 1
+        return _export_cd_matches(args, by_target=(t == "LM_CD_MATCHES"))
+    if t == "EM_PPP_MATCHES":
+        if not args.matchesDir:
+            LOG.error("--matchesDir required for %s", t)
+            return 1
+        return _export_ppp_matches(args)
+    if not args.mips_file:
+        LOG.error("--mips-file required for %s", t)
+        return 1
+    return _export_mips(args)

@@ -1,0 +1,159 @@
+"""gradientScores command: shape-score re-ranking of top CDS matches.
+
+Counterpart of cmd/CalculateGradientScoresCmd.java:71-647: list masks
+with matches -> read + filter matches -> select best
+lines/samples/matches -> per-mask shape planes built once -> batched
+device shape scoring -> per-mask normalization -> write updates + tags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..cds.shape_kernel import finish_shape_scores, shape_score_kernel
+from ..cds.shape_oracle import (build_query_shape_planes,
+                                build_target_shape_planes)
+from ..dataio import (DataSourceParam, JSONNeuronMatchesReader,
+                      JSONNeuronMatchesWriter, ScoresFilter)
+from ..mips import MIPsCache, load_image_from_filedata
+from ..model import CDMatchEntity, ComputeFileType, ProcessingType
+from ..results import (group_matches_by_mask, normalize_match_scores,
+                       partition_collection, select_best_matches)
+from .args import add_cds_params, add_common_args, excluded_regions_for
+
+LOG = logging.getLogger(__name__)
+
+
+def add_parser(subparsers) -> None:
+    p = subparsers.add_parser("gradientScores",
+                              help="gradient/shape score re-ranking")
+    add_common_args(p)
+    add_cds_params(p)
+    p.add_argument("-md", "--matchesDir", required=True,
+                   help="per-mask matches dir (from colorDepthSearch)")
+    p.add_argument("--masks-mip-ids", nargs="*", default=None,
+                   help="only process these mask MIP ids")
+    p.add_argument("--nBestLines", type=int, default=-1)
+    p.add_argument("--nBestSamplesPerLine", type=int, default=-1)
+    p.add_argument("--nBestMatchesPerSample", type=int, default=-1)
+    p.add_argument("--targetsPerBatch", type=int, default=16,
+                   help="targets scored per device step")
+    p.add_argument("--processing-tag", default=None)
+    p.add_argument("--cancel-previous-gradient-scores", action="store_true")
+    p.add_argument("--computeZGapOnTheFly", action="store_true",
+                   help="derive missing ZGap variants by 10px dilation")
+    p.set_defaults(func=run)
+
+
+def _load_mask_image(mask, cache: MIPsCache):
+    mip = cache.load_mip(mask, ComputeFileType.InputColorDepthImage)
+    return mip.image
+
+
+def run(args: argparse.Namespace) -> int:
+    t_start = time.time()
+    reader = JSONNeuronMatchesReader(args.matchesDir)
+    selector = DataSourceParam(mip_ids=args.masks_mip_ids or [])
+    mask_locations = reader.list_match_locations([selector])
+    LOG.info("found %d masks with matches", len(mask_locations))
+
+    cache = MIPsCache(args.cacheSize)
+    scores_filter = ScoresFilter()
+    if args.pctPositivePixels:
+        scores_filter.add("matchingRatio", args.pctPositivePixels / 100.0)
+
+    updated: List[CDMatchEntity] = []
+    for mip_id in mask_locations:
+        matches = reader.read_matches_by_mask(
+            DataSourceParam(mip_ids=[mip_id]),
+            scores_filter=None if scores_filter.empty else scores_filter)
+        if not matches:
+            continue
+        if args.cancel_previous_gradient_scores:
+            for m in matches:
+                m.reset_gradient_scores()
+        selected = select_best_matches(matches, args.nBestLines,
+                                       args.nBestSamplesPerLine,
+                                       args.nBestMatchesPerSample)
+        scored_for_mask: List[CDMatchEntity] = []
+        # a single mip id may map to multiple mask entities
+        # (NormalizeGradientScoresCmd.java:270-273)
+        for mask_key, mask_matches in group_matches_by_mask(selected).items():
+            mask = mask_matches[0].mask_image
+            mask_img = _load_mask_image(mask, cache)
+            if mask_img is None:
+                LOG.warning("no CDM for mask %s", mip_id)
+                continue
+            excluded = excluded_regions_for(args, mask_img.height,
+                                            mask_img.width)
+            qplanes = build_query_shape_planes(mask_img, excluded)
+            for part in partition_collection(mask_matches, args.targetsPerBatch):
+                scored = _score_batch(part, qplanes, cache, args, excluded)
+                scored_for_mask.extend(scored)
+        # normalization runs over the selected+scored matches only
+        # (CalculateGradientScoresCmd.java:213-247: normalizeScores over
+        # allScoredMatches, grouped by mask entity internally)
+        normalize_match_scores(scored_for_mask)
+        updated.extend(scored_for_mask)
+        tag = args.processing_tag or "gradientScore"
+        for m in scored_for_mask:
+            if m.mask_image is not None:
+                m.mask_image.add_processed_tag(ProcessingType.GradientScore, tag)
+            if m.matched_image is not None:
+                m.matched_image.add_processed_tag(ProcessingType.GradientScore, tag)
+        # rewrite the per-mask group file with the FULL match list, the
+        # scored subset carrying its updates (Mongo-update semantics on
+        # the FS backend)
+        writer = JSONNeuronMatchesWriter(args.matchesDir)
+        writer.write_updates(matches, ["gradientAreaGap", "highExpressionArea",
+                                       "normalizedScore"])
+    LOG.info("updated %d matches in %.1fs", len(updated), time.time() - t_start)
+    return 0
+
+
+def _score_batch(part, qplanes, cache: MIPsCache, args, excluded):
+    """Batched shape scoring for one mask's matches."""
+    from ..cds.shape_oracle import compute_zgap_image
+    from ..imageproc.io import Image, ImageKind
+
+    tplanes = []
+    scored_matches = []
+    for m in part:
+        target = m.matched_image
+        cdm = cache.load_mip(target, ComputeFileType.InputColorDepthImage).image
+        grad = cache.load_mip(target, ComputeFileType.GradientImage).image
+        zgap = cache.load_mip(target, ComputeFileType.ZGapImage).image
+        if cdm is None or grad is None:
+            # no negative score possible
+            # (Shape2DMatchColorDepthSearchAlgorithm.java:155-158)
+            m.gradient_area_gap = -1
+            m.high_expression_area = -1
+            continue
+        if zgap is None and not args.computeZGapOnTheFly:
+            m.gradient_area_gap = -1
+            m.high_expression_area = -1
+            continue
+        tplanes.append(build_target_shape_planes(
+            cdm, grad, zgap, args.maskThreshold, excluded))
+        scored_matches.append(m)
+    if not tplanes:
+        return []
+
+    grad = np.stack([t.grad for t in tplanes])
+    znz = np.stack([t.z_nonzero for t in tplanes])
+    zsl = np.stack([t.z_slice for t in tplanes])
+    tab = np.stack([t.t_above for t in tplanes])
+    out = shape_score_kernel(qplanes.q_nonzero, qplanes.q_slice,
+                             qplanes.q_mask, qplanes.high_expr,
+                             grad, znz, zsl, tab, mirror=args.mirrorMask)
+    gaps, high, score, use_m = finish_shape_scores(*out, mirror=args.mirrorMask)
+    for i, m in enumerate(scored_matches):
+        m.gradient_area_gap = int(gaps[i])
+        m.high_expression_area = int(high[i])
+        m.bidirectional_area_gap = None
+    return scored_matches

@@ -1,0 +1,87 @@
+"""Smoke tests for the auxiliary CLI commands."""
+
+import json
+import os
+import pathlib
+
+import pytest
+
+from colormipsearch_tpu.cmd.main import main
+from colormipsearch_tpu.dataio import JSONCDMIPsReader, DataSourceParam
+from colormipsearch_tpu.ppp import read_raw_ppp_matches
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def test_raw_ppp_reader():
+    """RawPPPMatchesReaderTest analogue on the reference fixture."""
+    path = FIXTURES / "cov_scores_1599747200-PFNp_c-RT_18U.json"
+    matches = list(read_raw_ppp_matches(str(path)))
+    assert len(matches) > 0
+    m = matches[0]
+    assert m.source_em_name == "1599747200-PFNp_c-RT_18U"
+    assert m.cov_score is not None
+    assert m.skeleton_matches
+    only_best = list(read_raw_ppp_matches(str(path), only_best_matches=True))
+    assert len(only_best) == len(matches)
+    assert len(only_best[0].skeleton_matches) <= len(m.skeleton_matches)
+
+
+def test_import_ppp_cmd(tmp_path):
+    rd = tmp_path / "ppp"
+    rd.mkdir()
+    for f in FIXTURES.glob("cov_scores_*.json"):
+        (rd / f.name).write_text(f.read_text())
+    out = tmp_path / "out"
+    rc = main(["importPPPResults", "-rd", str(rd), "-od", str(out)])
+    assert rc == 0
+    files = list(out.glob("*.json"))
+    assert len(files) == 2
+    doc = json.loads(files[0].read_text())
+    assert doc["results"]
+    assert doc["results"][0]["class"].endswith("PPPMatchEntity")
+
+
+def test_create_data_input_cmd(tmp_path, fixtures_dir):
+    out = tmp_path / "mips"
+    rc = main(["createColorDepthSearchDataInput",
+               "--library", "flyem_test",
+               "--cdm-location", str(fixtures_dir / "ems"),
+               "--variant", f"grad:{fixtures_dir / 'grad'}",
+               "-od", str(out)])
+    assert rc == 0
+    mips = JSONCDMIPsReader(str(out / "flyem_test.json")).read_mips(DataSourceParam())
+    assert len(mips) == 3
+    names = {m.published_name for m in mips}
+    assert "12191" in names
+    assert "1752016801" in names
+
+
+def test_tag_and_validate_cmds(tmp_path, fixtures_dir):
+    out = tmp_path / "mips"
+    main(["createColorDepthSearchDataInput", "--library", "flyem_test",
+          "--cdm-location", str(fixtures_dir / "ems"), "-od", str(out)])
+    mips_file = str(out / "flyem_test.json")
+    rc = main(["tag", "--mips-file", mips_file, "--tag", "round1",
+               "--names", "12191"])
+    assert rc == 0
+    mips = JSONCDMIPsReader(mips_file).read_mips(DataSourceParam())
+    tagged = [m for m in mips if "round1" in m.dataset_labels]
+    assert {m.published_name for m in tagged} == {"12191"}
+
+    report = tmp_path / "errors.json"
+    rc = main(["validateDBData", "--mips-file", mips_file,
+               "--check-file-existence", "--error-report", str(report)])
+    assert rc == 0  # all fixture files exist
+
+
+def test_copy_to_mips_store_cmd(tmp_path, fixtures_dir):
+    out = tmp_path / "mips"
+    main(["createColorDepthSearchDataInput", "--library", "flyem_test",
+          "--cdm-location", str(fixtures_dir / "ems"), "-od", str(out)])
+    store = tmp_path / "store"
+    rc = main(["copyToMipsStore", "--mips-file", str(out / "flyem_test.json"),
+               "--target-folder", str(store), "--update-mips"])
+    assert rc == 0
+    copied = list(store.rglob("*.tif"))
+    assert len(copied) >= 3
