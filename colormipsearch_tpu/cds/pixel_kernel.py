@@ -251,13 +251,18 @@ class QueryPlanes:
 def prepare_query_planes(query: Image, query_threshold: int,
                          excluded: Optional[np.ndarray] = None) -> QueryPlanes:
     """Host-side query prep (getMaskPosArray dense analogue,
-    AbstractColorDepthSearchAlgorithm.java:96-126)."""
+    AbstractColorDepthSearchAlgorithm.java:96-126). Uses the native
+    mipops packer when available (parity asserted in tests)."""
+    from ..native import pack_planes_native
     rgb = query.rgb_i32()
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     qsel = (rgb > query_threshold).any(axis=2)
     if excluded is not None:
         qsel = qsel & ~excluded
-    words = pack_planes(r, g, b, qsel, np)
+    words = pack_planes_native(rgb.astype(np.uint8), query_threshold,
+                               excluded)
+    if words is None:
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        words = pack_planes(r, g, b, qsel, np)
     return QueryPlanes(words=words, query_size=int(qsel.sum()),
                        height=query.height, width=query.width)
 

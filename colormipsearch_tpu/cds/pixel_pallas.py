@@ -1,0 +1,344 @@
+"""Pallas active-tile pixel-match kernel — the hot-path scorer.
+
+Neuron masks occupy 0.3-2.5% of the 1210x566 frame (3-10% of 8x128 VPU
+tiles). The dense XLA kernel (pixel_kernel.py) pays for every pixel; this
+kernel touches only the mask's ACTIVE tiles:
+
+- Host gathers the query's active 8x128 tiles into a [K, 8, 128] stack
+  and a [K, 2] window-origin table in the padded target frame (the
+  mirror pass reads the x-flipped frame at the same origins).
+- The kernel runs on a (T, K) grid. Query tiles stream through VMEM via
+  the standard BlockSpec pipeline; the two target windows per step
+  ([8+2s, 128+2s] around the tile, direct + mirrored frame) are fetched
+  with explicit double-buffered async DMA from HBM using the
+  scalar-prefetched coordinates — each target word is read once per
+  active tile instead of once per pixel variant.
+- Per step the packed words are unpacked once, then all (1+8*s/2)*2
+  shift/mirror variants are scored as static slices of the window and
+  accumulated into a [T, NV] partial-score output revisited across the
+  K grid axis (matmul-reduction pattern).
+
+Exactness is identical to the dense kernel: the same branchless int32
+hue-gap predicate (see pixel_kernel.py / exact_ratio.py), validated
+against the reference goldens in tests.
+
+Reference counterpart: the scalar position-list loop in
+cds/PixelMatchColorDepthSearchAlgorithm.java:221-263 (and its thread-
+pool fan-out, cmd/cdsprocess/LocalColorMIPSearchProcessor.java:93-112).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..imageproc.io import Image
+from .exact_ratio import c9_split
+from .oracle import shift_ring_offsets
+from .pixel_kernel import PAIR_K9, QueryPlanes, prepare_query_planes
+
+TILE_H = 8
+TILE_W = 128
+
+
+def _unpack(word):
+    b = word & 0xFF
+    a = (word >> 8) & 0xFF
+    s = (word >> 16) & 0x7
+    sel = (word >> 19) & 1
+    cl = (word >> 20) & 1
+    cu = (word >> 21) & 1
+    return b, a, s, sel, cl, cu
+
+
+def _leq_geq_chain(u, v, q, r_hi, r_lo):
+    # pure boolean algebra (no bool/int selects): Mosaic lowers i1
+    # logical ops directly, avoiding unsupported narrow truncations
+    d = u * 1000 - q * v
+    e = d * 15625 - r_hi * v
+    in_d = (d >= 0) & (d <= 65601)
+    in_e = (e >= 0) & (e <= 65601)
+    e_band = 64 * jnp.where(in_e, e, 0)
+    rv = r_lo * v
+    leq_e = (e < 0) | (in_e & (e_band <= rv))
+    geq_e = (e >= 0) & ((e_band >= rv) | ~in_e)
+    leq = (d < 0) | (in_d & leq_e)
+    geq = (d >= 0) & (geq_e | ~in_d)
+    return leq, geq
+
+
+def _select_by_lo(lo, values):
+    out = jnp.full_like(lo, values[0])
+    for i in (2, 3, 4, 5):
+        out = jnp.where(lo == i, values[i - 1], out)
+    return out
+
+
+def _match_unpacked(q, t, zt9: int):
+    """Match predicate on pre-unpacked tuples (see pixel_kernel._match_words)."""
+    b1, a1, s1, qsel, qcl, qcu = q
+    b2, a2, s2, tsel, tcl, tcu = t
+    p = b1 * b2
+    zq, zrh, zrl = c9_split(zt9)
+    diff = jnp.abs(a2 * b1 - a1 * b2)
+    same_leq, _ = _leq_geq_chain(diff, p, zq, zrh, zrl)
+    same_ok = (s1 == s2) & (s1 > 0) & (a1 > 0) & (a2 > 0) & same_leq
+
+    up = s2 == s1 + 1
+    down = s1 == s2 + 1
+    adj = (up | down) & (jnp.minimum(s1, s2) > 0)
+    lo = jnp.where(up, s1, s2)
+    cond = (up & ((qcu & tcl) > 0)) | (down & ((qcl & tcu) > 0))
+
+    leq_splits = [c9_split(2 * k + zt9) for k in PAIR_K9]
+    geq_splits = [c9_split(max(2 * k - zt9, 0)) for k in PAIR_K9]
+    is_even = (lo == 2) | (lo == 4)
+    q_c = jnp.where(is_even, _select_by_lo(lo, [g[0] for g in geq_splits]),
+                    _select_by_lo(lo, [l[0] for l in leq_splits]))
+    rh_c = jnp.where(is_even, _select_by_lo(lo, [g[1] for g in geq_splits]),
+                     _select_by_lo(lo, [l[1] for l in leq_splits]))
+    rl_c = jnp.where(is_even, _select_by_lo(lo, [g[2] for g in geq_splits]),
+                     _select_by_lo(lo, [l[2] for l in leq_splits]))
+    u = a1 * b2 + a2 * b1
+    leq, geq = _leq_geq_chain(u, p, q_c, rh_c, rl_c)
+    gap_ok = (is_even & geq) | (~is_even & leq)
+    return ((qsel & tsel) > 0) & (same_ok | (adj & cond & gap_ok))
+
+
+@dataclass
+class ActiveTiles:
+    """Host-prepared active-tile decomposition of one query."""
+    q_tiles: np.ndarray   # int32 [K, TILE_H, TILE_W]
+    coords: np.ndarray    # int32 [K, 2]: window origin (row, col) in padded frame
+    n_active: int
+    query_size: int
+    height: int
+    width: int
+
+
+def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
+    """Decompose packed query planes into active 8x128 tiles.
+
+    coords are 3x3 super-tile window ORIGINS in the ring-padded target
+    frame (frame[r, c] = t[r - 8, c - 128]): the window for tile
+    (ty, tx) starts at (ty*8, tx*128) and spans 24 x 384, so the query
+    tile sits at window rows [8, 16), cols [128, 256) and shift (dx, dy)
+    becomes the static slice offset (8+dy, 128+dx).
+    """
+    words = planes.words
+    h, w = words.shape
+    gh = -(-h // TILE_H)
+    gw = -(-w // TILE_W)
+    padded = np.zeros((gh * TILE_H, gw * TILE_W), dtype=np.int32)
+    padded[:h, :w] = words
+    sel = (padded >> 19) & 1
+    tiles = padded.reshape(gh, TILE_H, gw, TILE_W)
+    active = tiles.transpose(0, 2, 1, 3).reshape(gh * gw, TILE_H, TILE_W)
+    tile_sel = sel.reshape(gh, TILE_H, gw, TILE_W).any(axis=(1, 3)).reshape(-1)
+    idx = np.nonzero(tile_sel)[0]
+    n_active = len(idx)
+    k = max(n_active, 1)
+    q_tiles = np.zeros((k, TILE_H, TILE_W), dtype=np.int32)
+    coords = np.zeros((k, 2), dtype=np.int32)
+    for i, ti in enumerate(idx):
+        ty, tx = divmod(int(ti), gw)
+        q_tiles[i] = active[ti]
+        # window origin in the padded plane: tile start; variant slices
+        # add (pad+dy, pad+dx). The mirror window uses the SAME origin in
+        # the x-flipped plane (the dense kernel slices flip(padded) at
+        # identical coordinates).
+        coords[i, 0] = ty * TILE_H
+        coords[i, 1] = tx * TILE_W
+    return ActiveTiles(q_tiles=q_tiles, coords=coords, n_active=n_active,
+                       query_size=planes.query_size, height=h, width=w)
+
+
+NV_PAD = 32  # accumulator sublanes (>= 2 * n_shifts)
+
+
+def _make_kernel(shifts, pad: int, zt9: int, n_k: int):
+    # tile-aligned 3x3 super-tile window: Mosaic only slices HBM memrefs
+    # at (8, 128)-tile granularity, so each step copies the full tile
+    # ring around the query tile; variant slices offset from its center
+    assert pad <= TILE_H
+    win_h = 3 * TILE_H
+    win_w = 3 * TILE_W
+    n_shifts = len(shifts)
+    nv = 2 * n_shifts
+    assert nv <= NV_PAD
+
+    def kernel(coords_ref, q_ref, t_hbm, tf_hbm, out_ref,
+               acc, win_d, win_m, sems):
+        t = pl.program_id(0)
+        k = pl.program_id(1)
+
+        def window_copies(slot, kk):
+            ty = pl.multiple_of(coords_ref[kk, 0], TILE_H)
+            tx = pl.multiple_of(coords_ref[kk, 1], TILE_W)
+            d = pltpu.make_async_copy(
+                t_hbm.at[t, pl.ds(ty, win_h), pl.ds(tx, win_w)],
+                win_d.at[slot], sems.at[slot, 0])
+            m = pltpu.make_async_copy(
+                tf_hbm.at[t, pl.ds(ty, win_h), pl.ds(tx, win_w)],
+                win_m.at[slot], sems.at[slot, 1])
+            return d, m
+
+        def start_window(slot, kk):
+            d, m = window_copies(slot, kk)
+            d.start()
+            m.start()
+
+        def wait_window(slot, kk):
+            d, m = window_copies(slot, kk)
+            d.wait()
+            m.wait()
+
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[...] = jnp.zeros((NV_PAD, TILE_W), dtype=jnp.int32)
+            start_window(0, 0)
+
+        @pl.when(k + 1 < n_k)
+        def _():
+            start_window(1 - slot, k + 1)
+
+        wait_window(slot, k)
+
+        q = _unpack(q_ref[0])
+        td = _unpack(win_d[slot])
+        tm = _unpack(win_m[slot])
+
+        for vi, (dx, dy) in enumerate(shifts):
+            r0, c0 = TILE_H + dy, TILE_W + dx
+            tdv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in td)
+            tmv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in tm)
+            md = _match_unpacked(q, tdv, zt9).astype(jnp.int32)
+            mm = _match_unpacked(q, tmv, zt9).astype(jnp.int32)
+            # per-lane partial sums; one accumulator sublane per variant
+            acc[vi, :] += md.sum(axis=0)
+            acc[n_shifts + vi, :] += mm.sum(axis=0)
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[0] = acc[...]
+
+    return kernel, win_h, win_w, nv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "pad", "shifts_tuple", "interpret"))
+def _active_tile_call(coords, q_tiles, t_padded, t_flipped,
+                      zt9: int, pad: int, shifts_tuple, interpret: bool):
+    tsz = t_padded.shape[0]
+    n_k = q_tiles.shape[0]
+    shifts = list(shifts_tuple)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tsz, n_k),
+        in_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, NV_PAD, TILE_W), lambda t, k, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM((2, win_h, win_w), jnp.int32),
+            pltpu.VMEM((2, win_h, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    lane_sums = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tsz, NV_PAD, TILE_W), jnp.int32),
+        interpret=interpret,
+    )(coords, q_tiles, t_padded, t_flipped)
+    return lane_sums.sum(axis=2)[:, :nv]  # [T, nv]
+
+
+class ActiveTilePixelEngine:
+    """Active-tile Pallas pixel-match scorer for one query.
+
+    Same scoring semantics and API as pixel_kernel.PixelMatchEngine;
+    targets must be packed with this engine's prepare_targets
+    (tile-aligned padded frame).
+    """
+
+    def __init__(self, query: Image, query_threshold: int, mirror_query: bool,
+                 target_threshold: int, pix_color_fluctuation: float,
+                 xy_shift: int, excluded: Optional[np.ndarray] = None,
+                 interpret: bool = False):
+        from .pixel_kernel import z_tolerance_to_zt9
+        self.planes = prepare_query_planes(query, query_threshold, excluded)
+        self.mirror_query = mirror_query
+        self.target_threshold = target_threshold
+        self.zt9 = z_tolerance_to_zt9(pix_color_fluctuation)
+        self.xy_shift = xy_shift
+        self.pad = max(xy_shift, 1)
+        self.shifts = tuple(shift_ring_offsets(xy_shift))
+        self.interpret = interpret
+        self.tiles = build_active_tiles(self.planes, self.pad)
+
+    def prepare_targets(self, targets_u8: np.ndarray):
+        """Pack targets into the tile-aligned padded frame (+ x-flip)."""
+        import jax.numpy as jnp
+        from .pixel_kernel import pack_planes
+        tsz, h, w, _ = targets_u8.shape
+        gh = -(-h // TILE_H)
+        gw = -(-w // TILE_W)
+        t = jnp.asarray(targets_u8)
+        r = t[..., 0].astype(jnp.int32)
+        g = t[..., 1].astype(jnp.int32)
+        b = t[..., 2].astype(jnp.int32)
+        above = ((r > self.target_threshold) | (g > self.target_threshold)
+                 | (b > self.target_threshold))
+        words = pack_planes(r, g, b, above, jnp)
+        # one full tile ring of padding on every side keeps each 3x3
+        # super-tile window in-bounds AND (8, 128)-aligned for HBM DMA
+        spec = ((0, 0), (TILE_H, gh * TILE_H - h + TILE_H),
+                (TILE_W, gw * TILE_W - w + TILE_W))
+        padded = jnp.pad(words, spec, constant_values=1)
+        # NB: the flip must happen on the RAW w-wide plane before the
+        # (asymmetric) tile-alignment padding, so flip_x sampling maps to
+        # t[w-1-x-dx] exactly as in the dense kernel's symmetric frame.
+        flipped = jnp.pad(words[:, :, ::-1], spec, constant_values=1)
+        return padded, flipped
+
+    def score_packed(self, packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        t_padded, t_flipped = packed
+        out = _active_tile_call(
+            jnp.asarray(self.tiles.coords), jnp.asarray(self.tiles.q_tiles),
+            t_padded, t_flipped, self.zt9, self.pad, self.shifts,
+            self.interpret)
+        out = np.asarray(out)  # [T, 2*S]
+        n = len(self.shifts)
+        direct = out[:, :n].max(axis=1)
+        if self.mirror_query:
+            mirror = out[:, n:].max(axis=1)
+            best = np.maximum(direct, mirror)
+            mirrored = mirror > direct
+        else:
+            best = direct
+            mirrored = np.zeros_like(direct, dtype=bool)
+        if self.tiles.query_size == 0:
+            z = np.zeros_like(best)
+            return z, np.zeros_like(best, dtype=np.float64), mirrored
+        ratios = best.astype(np.float64) / float(self.tiles.query_size)
+        return best.astype(np.int64), ratios, mirrored
+
+    def score_batch(self, targets_u8: np.ndarray):
+        return self.score_packed(self.prepare_targets(targets_u8))

@@ -82,7 +82,14 @@ def max_filter_rgb(rgb: np.ndarray, radius: float) -> np.ndarray:
 
     The reference's RGBHistogram computes per-channel running maxima
     (ImageTransformation.java:36-84), i.e. channels dilate independently.
+    Dispatches to the native mipops library when available (parity
+    asserted in tests); falls back to the NumPy decomposition.
     """
+    if rgb.dtype == np.uint8:
+        from ..native import max_filter_rgb_native
+        native = max_filter_rgb_native(rgb, radius)
+        if native is not None:
+            return native
     out = np.empty_like(rgb)
     for c in range(rgb.shape[2]):
         out[:, :, c] = max_filter_plane(rgb[:, :, c], radius)

@@ -1,0 +1,42 @@
+"""Active-tile Pallas kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+from colormipsearch_tpu.imageproc.io import image_from_array
+from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
+from colormipsearch_tpu.cds.pixel_kernel import PixelMatchEngine
+
+
+def test_pallas_goldens(fixtures_dir):
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded,
+                                   interpret=True)
+    assert engine.tiles.n_active > 0
+    lms = ["VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif",
+           "BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_HR-2483089192251293794-CH2-01_CDM.tif",
+           "VT016795_115C08_AE_01-20200221_61_I2-m-CH1_01.tif"]
+    targets = np.stack([load_image(fixtures_dir / "lms" / n).pixels
+                        for n in lms])
+    scores, ratios, mirrored = engine.score_batch(targets)
+    assert list(scores) == [439, 414, 426]
+    assert list(mirrored) == [False, False, True]
+
+
+def test_pallas_matches_dense_random():
+    rng = np.random.default_rng(3)
+    h, w = 40, 200  # force multiple tiles + ragged edges
+    q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    q[rng.random((h, w)) < 0.8] = 0
+    t = rng.integers(0, 256, size=(5, h, w, 3)).astype(np.uint8)
+    t[rng.random((5, h, w)) < 0.5] = 0
+    query = image_from_array(q)
+    pallas = ActiveTilePixelEngine(query, 20, True, 20, 2.0, 2, None,
+                                   interpret=True)
+    dense = PixelMatchEngine(query, 20, True, 20, 2.0, 2, None)
+    ps, pr, pm = pallas.score_batch(t)
+    ds, dr, dm = dense.score_batch(t)
+    np.testing.assert_array_equal(ps, ds)
+    np.testing.assert_array_equal(pm, dm)
