@@ -163,10 +163,12 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
 NV_PAD = 32  # accumulator sublanes (>= 2 * n_shifts)
 
 
-def _make_kernel(shifts, pad: int, zt9: int, n_k: int):
+def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
     # tile-aligned 3x3 super-tile window: Mosaic only slices HBM memrefs
     # at (8, 128)-tile granularity, so each step copies the full tile
-    # ring around the query tile; variant slices offset from its center
+    # ring around the query tile; variant slices offset from its center.
+    # A block of tb targets shares each step: one slab DMA per window
+    # amortizes DMA issue latency over tb * n_variants tile scorings.
     assert pad <= TILE_H
     win_h = 3 * TILE_H
     win_w = 3 * TILE_W
@@ -183,10 +185,10 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int):
             ty = pl.multiple_of(coords_ref[kk, 0], TILE_H)
             tx = pl.multiple_of(coords_ref[kk, 1], TILE_W)
             d = pltpu.make_async_copy(
-                t_hbm.at[t, pl.ds(ty, win_h), pl.ds(tx, win_w)],
+                t_hbm.at[pl.ds(t * tb, tb), pl.ds(ty, win_h), pl.ds(tx, win_w)],
                 win_d.at[slot], sems.at[slot, 0])
             m = pltpu.make_async_copy(
-                tf_hbm.at[t, pl.ds(ty, win_h), pl.ds(tx, win_w)],
+                tf_hbm.at[pl.ds(t * tb, tb), pl.ds(ty, win_h), pl.ds(tx, win_w)],
                 win_m.at[slot], sems.at[slot, 1])
             return d, m
 
@@ -204,7 +206,7 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int):
 
         @pl.when(k == 0)
         def _():
-            acc[...] = jnp.zeros((NV_PAD, TILE_W), dtype=jnp.int32)
+            acc[...] = jnp.zeros((tb, NV_PAD, TILE_W), dtype=jnp.int32)
             start_window(0, 0)
 
         @pl.when(k + 1 < n_k)
@@ -214,50 +216,54 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int):
         wait_window(slot, k)
 
         q = _unpack(q_ref[0])
-        td = _unpack(win_d[slot])
-        tm = _unpack(win_m[slot])
-
-        for vi, (dx, dy) in enumerate(shifts):
-            r0, c0 = TILE_H + dy, TILE_W + dx
-            tdv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in td)
-            tmv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in tm)
-            md = _match_unpacked(q, tdv, zt9).astype(jnp.int32)
-            mm = _match_unpacked(q, tmv, zt9).astype(jnp.int32)
-            # per-lane partial sums; one accumulator sublane per variant
-            acc[vi, :] += md.sum(axis=0)
-            acc[n_shifts + vi, :] += mm.sum(axis=0)
+        for tbi in range(tb):
+            td = _unpack(win_d[slot, tbi])
+            tm = _unpack(win_m[slot, tbi])
+            for vi, (dx, dy) in enumerate(shifts):
+                r0, c0 = TILE_H + dy, TILE_W + dx
+                tdv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in td)
+                tmv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in tm)
+                md = _match_unpacked(q, tdv, zt9).astype(jnp.int32)
+                mm = _match_unpacked(q, tmv, zt9).astype(jnp.int32)
+                # per-lane partial sums; one accumulator sublane/variant
+                acc[tbi, vi, :] += md.sum(axis=0)
+                acc[tbi, n_shifts + vi, :] += mm.sum(axis=0)
 
         @pl.when(k == n_k - 1)
         def _():
-            out_ref[0] = acc[...]
+            out_ref[...] = acc[...]
 
     return kernel, win_h, win_w, nv
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("zt9", "pad", "shifts_tuple", "interpret"))
+                   static_argnames=("zt9", "pad", "shifts_tuple", "tb",
+                                    "interpret"))
 def _active_tile_call(coords, q_tiles, t_padded, t_flipped,
-                      zt9: int, pad: int, shifts_tuple, interpret: bool):
+                      zt9: int, pad: int, shifts_tuple, tb: int,
+                      interpret: bool):
     tsz = t_padded.shape[0]
+    assert tsz % tb == 0, "target count must be a multiple of the block"
     n_k = q_tiles.shape[0]
     shifts = list(shifts_tuple)
-    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(tsz, n_k),
+        grid=(tsz // tb, n_k),
         in_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, NV_PAD, TILE_W), lambda t, k, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
+                               lambda t, k, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NV_PAD, TILE_W), jnp.int32),
-            pltpu.VMEM((2, win_h, win_w), jnp.int32),
-            pltpu.VMEM((2, win_h, win_w), jnp.int32),
+            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -291,6 +297,9 @@ class ActiveTilePixelEngine:
         self.pad = max(xy_shift, 1)
         self.shifts = tuple(shift_ring_offsets(xy_shift))
         self.interpret = interpret
+        # targets scored per kernel step; one slab DMA per step amortizes
+        # DMA latency over target_block * n_variants tile scorings
+        self.target_block = 16
         self.tiles = build_active_tiles(self.planes, self.pad)
 
     def prepare_targets(self, targets_u8: np.ndarray):
@@ -320,10 +329,14 @@ class ActiveTilePixelEngine:
 
     def score_packed(self, packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         t_padded, t_flipped = packed
+        tsz = t_padded.shape[0]
+        tb = self.target_block
+        while tsz % tb:
+            tb //= 2  # fall back to a divisor (tsz padded to tb upstream)
         out = _active_tile_call(
             jnp.asarray(self.tiles.coords), jnp.asarray(self.tiles.q_tiles),
             t_padded, t_flipped, self.zt9, self.pad, self.shifts,
-            self.interpret)
+            max(tb, 1), self.interpret)
         out = np.asarray(out)  # [T, 2*S]
         n = len(self.shifts)
         direct = out[:, :n].max(axis=1)

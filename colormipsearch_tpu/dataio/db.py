@@ -1,0 +1,310 @@
+"""Database persistence backends (SQLite).
+
+Counterpart of the reference's Mongo DAO layer (colormipsearch-persist
+dao/mongo/*.java and dataio/db/*.java), implemented over SQLite so the
+framework ships with a real embedded database while keeping the same
+reader/writer interfaces (a Mongo backend can slot in behind the same
+split). Semantics preserved:
+
+- neuron metadata store keyed by entityId with secondary indexes on
+  mipId / libraryName / publishedName
+  (NeuronMetadataMongoDao.java:68-76)
+- match upserts keyed on (maskImageRefId, matchedImageRefId)
+  (AbstractNeuronMatchesMongoDao.createOrUpdateAll,
+  AbstractNeuronMatchesMongoDao.java:117+), with score-only field
+  updates for re-runs
+- listMatchesLocations = distinct mask mip ids having matches
+  (DBNeuronMatchesReader.java:42-64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import threading
+from typing import List, Optional, Sequence, Set
+
+from ..model.entities import CDMatchEntity, NeuronEntity, entity_from_dict
+from ..model.enums import ProcessingType
+from ..persist.idgenerator import TimebasedIdGenerator
+from .base import (CDMIPsReader, CDMIPsWriter, DataSourceParam,
+                   NeuronMatchesReader, NeuronMatchesWriter, ScoresFilter,
+                   SortCriteria)
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS neuron_metadata (
+    entity_id INTEGER PRIMARY KEY,
+    mip_id TEXT, alignment_space TEXT, library_name TEXT,
+    published_name TEXT, doc TEXT NOT NULL);
+CREATE INDEX IF NOT EXISTS idx_nm_mip ON neuron_metadata(mip_id);
+CREATE INDEX IF NOT EXISTS idx_nm_lib ON neuron_metadata(library_name);
+CREATE INDEX IF NOT EXISTS idx_nm_pub ON neuron_metadata(published_name);
+
+CREATE TABLE IF NOT EXISTS cd_matches (
+    entity_id INTEGER PRIMARY KEY,
+    mask_ref INTEGER NOT NULL, matched_ref INTEGER NOT NULL,
+    matching_pixels INTEGER, matching_pixels_ratio REAL,
+    normalized_score REAL, gradient_area_gap INTEGER,
+    high_expression_area INTEGER, bidirectional_area_gap INTEGER,
+    mirrored INTEGER, session_ref TEXT, doc TEXT NOT NULL,
+    UNIQUE(mask_ref, matched_ref));
+CREATE INDEX IF NOT EXISTS idx_cm_mask ON cd_matches(mask_ref);
+CREATE INDEX IF NOT EXISTS idx_cm_matched ON cd_matches(matched_ref);
+"""
+
+
+class SqliteStore:
+    """Shared connection + schema (DaosProvider analogue,
+    dao/DaosProvider.java:23-97)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if path != ":memory:":
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.executescript(_SCHEMA)
+        self._lock = threading.Lock()
+        self.id_generator = TimebasedIdGenerator()
+
+    def close(self) -> None:
+        self._conn.close()
+
+    # --- neuron metadata DAO ---
+
+    def upsert_neurons(self, entities: Sequence[NeuronEntity]) -> None:
+        rows = []
+        for e in entities:
+            if e.entity_id is None:
+                e.entity_id = self.id_generator.generate_id()
+            rows.append((e.entity_id, e.mip_id, e.alignment_space,
+                         e.library_name, e.published_name,
+                         json.dumps(e.to_dict())))
+        with self._lock:
+            self._conn.executemany(
+                "INSERT INTO neuron_metadata VALUES (?,?,?,?,?,?) "
+                "ON CONFLICT(entity_id) DO UPDATE SET doc=excluded.doc, "
+                "mip_id=excluded.mip_id, library_name=excluded.library_name, "
+                "published_name=excluded.published_name", rows)
+            self._conn.commit()
+
+    def find_neurons(self, param: DataSourceParam) -> List[NeuronEntity]:
+        clauses, args = [], []
+        if param.alignment_space:
+            clauses.append("alignment_space = ?")
+            args.append(param.alignment_space)
+        if param.libraries:
+            clauses.append("library_name IN (%s)"
+                           % ",".join("?" * len(param.libraries)))
+            args.extend(param.libraries)
+        if param.mip_ids:
+            clauses.append("mip_id IN (%s)" % ",".join("?" * len(param.mip_ids)))
+            args.extend(param.mip_ids)
+        if param.names:
+            clauses.append("published_name IN (%s)"
+                           % ",".join("?" * len(param.names)))
+            args.extend(param.names)
+        sql = "SELECT doc FROM neuron_metadata"
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        sql += " ORDER BY entity_id"
+        with self._lock:
+            rows = self._conn.execute(sql, args).fetchall()
+        entities = [entity_from_dict(json.loads(r[0])) for r in rows]
+        # tag/dataset filters live in the JSON doc
+        entities = [e for e in entities if param.matches_entity(e)]
+        return param.apply_slice(entities)
+
+    def distinct_neuron_values(self, column: str) -> List[str]:
+        if column not in ("mip_id", "library_name", "published_name",
+                          "alignment_space"):
+            raise ValueError(column)
+        with self._lock:
+            rows = self._conn.execute(
+                f"SELECT DISTINCT {column} FROM neuron_metadata "
+                f"WHERE {column} IS NOT NULL").fetchall()
+        return sorted(r[0] for r in rows)
+
+    # --- matches DAO ---
+
+    def upsert_matches(self, matches: Sequence[CDMatchEntity]) -> int:
+        """createOrUpdateAll keyed on (mask_ref, matched_ref)."""
+        n = 0
+        with self._lock:
+            for m in matches:
+                mask_ref = m.mask_ref()
+                matched_ref = m.matched_ref()
+                if mask_ref is None or matched_ref is None:
+                    continue
+                if m.entity_id is None:
+                    m.entity_id = self.id_generator.generate_id()
+                self._conn.execute(
+                    "INSERT INTO cd_matches VALUES (?,?,?,?,?,?,?,?,?,?,?,?) "
+                    "ON CONFLICT(mask_ref, matched_ref) DO UPDATE SET "
+                    "matching_pixels=excluded.matching_pixels, "
+                    "matching_pixels_ratio=excluded.matching_pixels_ratio, "
+                    "normalized_score=excluded.normalized_score, "
+                    "gradient_area_gap=excluded.gradient_area_gap, "
+                    "high_expression_area=excluded.high_expression_area, "
+                    "bidirectional_area_gap=excluded.bidirectional_area_gap, "
+                    "mirrored=excluded.mirrored, doc=excluded.doc",
+                    (m.entity_id, mask_ref, matched_ref,
+                     m.matching_pixels, m.matching_pixels_ratio,
+                     m.normalized_score, m.gradient_area_gap,
+                     m.high_expression_area, m.bidirectional_area_gap,
+                     1 if m.mirrored else 0, m.session_ref_id,
+                     json.dumps(m.to_dict())))
+                n += 1
+            self._conn.commit()
+        return n
+
+    def update_match_fields(self, matches: Sequence[CDMatchEntity],
+                            fields: Sequence[str]) -> int:
+        """Field-level bulk updates (DBCDScoresOnlyWriter semantics)."""
+        col_map = {"normalizedScore": "normalized_score",
+                   "gradientAreaGap": "gradient_area_gap",
+                   "highExpressionArea": "high_expression_area",
+                   "bidirectionalAreaGap": "bidirectional_area_gap",
+                   "matchingPixels": "matching_pixels",
+                   "matchingPixelsRatio": "matching_pixels_ratio"}
+        getter = {"normalizedScore": lambda m: m.normalized_score,
+                  "gradientAreaGap": lambda m: m.gradient_area_gap,
+                  "highExpressionArea": lambda m: m.high_expression_area,
+                  "bidirectionalAreaGap": lambda m: m.bidirectional_area_gap,
+                  "matchingPixels": lambda m: m.matching_pixels,
+                  "matchingPixelsRatio": lambda m: m.matching_pixels_ratio}
+        cols = [col_map[f] for f in fields if f in col_map]
+        if not cols:
+            return 0
+        n = 0
+        with self._lock:
+            for m in matches:
+                if m.entity_id is None:
+                    continue
+                sets = ", ".join(f"{c} = ?" for c in cols)
+                vals = [getter[f](m) for f in fields if f in col_map]
+                self._conn.execute(
+                    f"UPDATE cd_matches SET {sets}, doc = ? WHERE entity_id = ?",
+                    vals + [json.dumps(m.to_dict()), m.entity_id])
+                n += 1
+            self._conn.commit()
+        return n
+
+    def find_matches_by_mask_refs(self, mask_refs: Sequence[int]
+                                  ) -> List[CDMatchEntity]:
+        qs = ",".join("?" * len(mask_refs))
+        with self._lock:
+            rows = self._conn.execute(
+                f"SELECT doc FROM cd_matches WHERE mask_ref IN ({qs}) "
+                "ORDER BY matching_pixels DESC", list(mask_refs)).fetchall()
+        return [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+
+    def distinct_mask_mip_ids_with_matches(self) -> List[str]:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT DISTINCT n.mip_id FROM cd_matches c "
+                "JOIN neuron_metadata n ON n.entity_id = c.mask_ref "
+                "WHERE n.mip_id IS NOT NULL").fetchall()
+        return sorted(r[0] for r in rows)
+
+    def delete_matches(self, mask_refs: Optional[Sequence[int]] = None,
+                       max_pixels: Optional[int] = None) -> int:
+        clauses, args = [], []
+        if mask_refs:
+            clauses.append("mask_ref IN (%s)" % ",".join("?" * len(mask_refs)))
+            args.extend(mask_refs)
+        if max_pixels is not None:
+            clauses.append("matching_pixels < ?")
+            args.append(max_pixels)
+        sql = "DELETE FROM cd_matches"
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        with self._lock:
+            cur = self._conn.execute(sql, args)
+            self._conn.commit()
+        return cur.rowcount
+
+
+class DBCDMIPsReader(CDMIPsReader):
+    def __init__(self, store: SqliteStore):
+        self.store = store
+
+    def read_mips(self, param: DataSourceParam) -> List[NeuronEntity]:
+        return self.store.find_neurons(param)
+
+
+class DBCDMIPsWriter(CDMIPsWriter):
+    """Upsert-if-exists writer (DBCheckedCDMIPsWriter analogue)."""
+
+    def __init__(self, store: SqliteStore):
+        self.store = store
+
+    def open(self) -> None:
+        pass
+
+    def write(self, entities: List[NeuronEntity]) -> None:
+        self.store.upsert_neurons(entities)
+
+    def add_processing_tags(self, entities: List[NeuronEntity],
+                            processing_type: ProcessingType,
+                            tags: Set[str]) -> None:
+        for e in entities:
+            for t in tags:
+                e.add_processed_tag(processing_type, t)
+        self.store.upsert_neurons(entities)
+
+    def close(self) -> None:
+        pass
+
+
+class DBNeuronMatchesReader(NeuronMatchesReader):
+    def __init__(self, store: SqliteStore):
+        self.store = store
+
+    def list_match_locations(self, params: List[DataSourceParam]) -> List[str]:
+        mips = self.store.distinct_mask_mip_ids_with_matches()
+        out = []
+        for p in params or [DataSourceParam()]:
+            if p.mip_ids:
+                out.extend(m for m in mips if m in set(p.mip_ids))
+            else:
+                out.extend(mips)
+        return sorted(set(out))
+
+    def read_matches_by_mask(self, mask_selector: DataSourceParam,
+                             target_selector: Optional[DataSourceParam] = None,
+                             scores_filter: Optional[ScoresFilter] = None,
+                             sort: Optional[SortCriteria] = None
+                             ) -> List[CDMatchEntity]:
+        masks = self.store.find_neurons(mask_selector)
+        refs = [e.entity_id for e in masks if e.entity_id is not None]
+        if not refs:
+            return []
+        matches = self.store.find_matches_by_mask_refs(refs)
+        if target_selector is not None:
+            matches = [m for m in matches
+                       if m.matched_image is None
+                       or target_selector.matches_entity(m.matched_image)]
+        if scores_filter is not None and not scores_filter.empty:
+            matches = [m for m in matches if scores_filter.matches(m)]
+        return matches
+
+
+class DBNeuronMatchesWriter(NeuronMatchesWriter):
+    def __init__(self, store: SqliteStore):
+        self.store = store
+
+    def write(self, matches: List[CDMatchEntity]) -> int:
+        # ensure images are persisted so refs resolve
+        neurons = {}
+        for m in matches:
+            for e in (m.mask_image, m.matched_image):
+                if e is not None:
+                    key = e.entity_id or id(e)
+                    neurons[key] = e
+        self.store.upsert_neurons(list(neurons.values()))
+        return self.store.upsert_matches(matches)
+
+    def write_updates(self, matches: List[CDMatchEntity],
+                      fields: List[str]) -> int:
+        return self.store.update_match_fields(matches, fields)
