@@ -216,18 +216,23 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
         wait_window(slot, k)
 
         q = _unpack(q_ref[0])
-        for tbi in range(tb):
-            td = _unpack(win_d[slot, tbi])
-            tm = _unpack(win_m[slot, tbi])
+
+        def target_body(tbi, _):
+            # one (8,128) VMEM load of the PACKED window per variant, then
+            # unpack — keeps live vregs ~14 instead of holding 12 unpacked
+            # (24,384) planes (which spills)
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
-                tdv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in td)
-                tmv = tuple(x[r0:r0 + TILE_H, c0:c0 + TILE_W] for x in tm)
-                md = _match_unpacked(q, tdv, zt9).astype(jnp.int32)
-                mm = _match_unpacked(q, tmv, zt9).astype(jnp.int32)
+                wd = win_d[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                wm = win_m[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                md = _match_unpacked(q, _unpack(wd), zt9).astype(jnp.int32)
+                mm = _match_unpacked(q, _unpack(wm), zt9).astype(jnp.int32)
                 # per-lane partial sums; one accumulator sublane/variant
                 acc[tbi, vi, :] += md.sum(axis=0)
                 acc[tbi, n_shifts + vi, :] += mm.sum(axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, tb, target_body, 0)
 
         @pl.when(k == n_k - 1)
         def _():

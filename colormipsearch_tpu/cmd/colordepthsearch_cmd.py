@@ -51,7 +51,18 @@ def add_parser(subparsers) -> None:
     p.add_argument("--processing-tag", default=None)
     p.add_argument("--write-batch-size", type=int, default=0,
                    help="flush results every N masks (0 = at end)")
+    p.add_argument("--engine", choices=("auto", "dense", "pallas"),
+                   default="auto",
+                   help="scoring engine: active-tile Pallas kernel on TPU, "
+                        "dense XLA elsewhere")
     p.set_defaults(func=run)
+
+
+def _pick_engine(kind: str) -> str:
+    if kind != "auto":
+        return kind
+    import jax
+    return "pallas" if jax.devices()[0].platform.startswith("tpu") else "dense"
 
 
 def _read_mips(files: List[str], index: int, length: int):
@@ -116,8 +127,10 @@ def run(args: argparse.Namespace) -> int:
     all_matches: List[CDMatchEntity] = []
     target_parts = partition_collection(targets, args.processingPartitionSize)
     ratio_threshold = (args.pctPositivePixels or 0.0) / 100.0
+    engine_kind = _pick_engine(args.engine)
+    LOG.info("scoring engine: %s", engine_kind)
 
-    # prepare query planes once per mask (host side)
+    # prepare query planes / engines once per mask (host side)
     prepared = []
     for mask in masks:
         mip = cache.load_mip(mask, ComputeFileType.InputColorDepthImage)
@@ -125,26 +138,45 @@ def run(args: argparse.Namespace) -> int:
             LOG.warning("no input image for mask %s", mask.mip_id)
             continue
         excluded = excluded_regions_for(args, mip.image.height, mip.image.width)
-        prepared.append((mask, prepare_query_planes(
-            mip.image, args.maskThreshold, excluded)))
+        if engine_kind == "pallas":
+            from ..cds.pixel_pallas import ActiveTilePixelEngine
+            eng = ActiveTilePixelEngine(
+                mip.image, args.maskThreshold, args.mirrorMask,
+                args.dataThreshold, args.pixColorFluctuation, args.xyShift,
+                excluded)
+            prepared.append((mask, eng))
+        else:
+            prepared.append((mask, prepare_query_planes(
+                mip.image, args.maskThreshold, excluded)))
+
+    def score_blocks(t_stack):
+        """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
+        if engine_kind == "pallas":
+            packed = prepared[0][1].prepare_targets(t_stack)
+            for mask, eng in prepared:
+                s, _, m = eng.score_packed(packed)
+                yield s[None], m[None], [(mask, eng.tiles.query_size)]
+        else:
+            t_padded, t_flipped = pack_targets(
+                jnp.asarray(t_stack), args.dataThreshold, pad)
+            for mask_block in partition_collection(prepared, args.maskBatchSize):
+                q_words = jnp.asarray(
+                    np.stack([qp.words for _, qp in mask_block]))
+                s, m = local_pixel_sweep(
+                    q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
+                yield (np.asarray(s), np.asarray(m),
+                       [(mask, qp.query_size) for mask, qp in mask_block])
 
     for part in target_parts:
         t_imgs, t_entities = _load_target_images(part, cache)
         if not t_imgs:
             continue
-        t_padded, t_flipped = pack_targets(
-            jnp.asarray(np.stack(t_imgs)), args.dataThreshold, pad)
-        for mask_block in partition_collection(prepared, args.maskBatchSize):
-            q_words = jnp.asarray(np.stack([qp.words for _, qp in mask_block]))
-            scores, mirrored = local_pixel_sweep(
-                q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
-            scores = np.asarray(scores)
-            mirrored = np.asarray(mirrored)
-            for bi, (mask, qp) in enumerate(mask_block):
-                qsize = max(qp.query_size, 1)
+        for scores_blk, mirrored_blk, block in score_blocks(np.stack(t_imgs)):
+            for bi, (mask, query_size) in enumerate(block):
+                qsize = max(query_size, 1)
                 for ti, target in enumerate(t_entities):
-                    pixels = int(scores[bi, ti]) if qp.query_size else 0
-                    ratio = pixels / qsize if qp.query_size else 0.0
+                    pixels = int(scores_blk[bi, ti]) if query_size else 0
+                    ratio = pixels / qsize if query_size else 0.0
                     # isMatch (ColorMIPSearch.java:42-46)
                     if not (pixels > 0 and ratio > ratio_threshold):
                         continue
@@ -154,7 +186,7 @@ def run(args: argparse.Namespace) -> int:
                     m.session_ref_id = str(session_id)
                     m.matching_pixels = pixels
                     m.matching_pixels_ratio = float(np.float32(ratio))
-                    m.mirrored = bool(mirrored[bi, ti])
+                    m.mirrored = bool(mirrored_blk[bi, ti])
                     m.match_found = True
                     m.tags.add(run_tag)
                     mask.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)

@@ -68,6 +68,7 @@ def run(args: argparse.Namespace) -> int:
         scores_filter.add("matchingRatio", args.pctPositivePixels / 100.0)
 
     updated: List[CDMatchEntity] = []
+    planes_cache: dict = {}
     for mip_id in mask_locations:
         matches = reader.read_matches_by_mask(
             DataSourceParam(mip_ids=[mip_id]),
@@ -93,7 +94,8 @@ def run(args: argparse.Namespace) -> int:
                                             mask_img.width)
             qplanes = build_query_shape_planes(mask_img, excluded)
             for part in partition_collection(mask_matches, args.targetsPerBatch):
-                scored = _score_batch(part, qplanes, cache, args, excluded)
+                scored = _score_batch(part, qplanes, cache, args, excluded,
+                                      planes_cache)
                 scored_for_mask.extend(scored)
         # normalization runs over the selected+scored matches only
         # (CalculateGradientScoresCmd.java:213-247: normalizeScores over
@@ -116,30 +118,46 @@ def run(args: argparse.Namespace) -> int:
     return 0
 
 
-def _score_batch(part, qplanes, cache: MIPsCache, args, excluded):
-    """Batched shape scoring for one mask's matches."""
-    from ..cds.shape_oracle import compute_zgap_image
-    from ..imageproc.io import Image, ImageKind
+_PLANES_CACHE_MAX = 2048
 
+
+def _target_planes_cached(target, cache: MIPsCache, args, excluded,
+                          planes_cache: dict):
+    """Per-target shape planes are pure functions of the target's files;
+    cache them across masks (the reference re-derives lazy images per
+    match; here the slice/grad planes are computed once per target)."""
+    key = target.entity_id or target.mip_id
+    if key in planes_cache:
+        return planes_cache[key]
+    cdm = cache.load_mip(target, ComputeFileType.InputColorDepthImage).image
+    grad = cache.load_mip(target, ComputeFileType.GradientImage).image
+    zgap = cache.load_mip(target, ComputeFileType.ZGapImage).image
+    planes = None
+    if cdm is not None and grad is not None and \
+            (zgap is not None or args.computeZGapOnTheFly):
+        planes = build_target_shape_planes(
+            cdm, grad, zgap, args.maskThreshold, excluded)
+    if len(planes_cache) >= _PLANES_CACHE_MAX:
+        planes_cache.clear()
+    planes_cache[key] = planes
+    return planes
+
+
+def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
+                 planes_cache: dict):
+    """Batched shape scoring for one mask's matches."""
     tplanes = []
     scored_matches = []
     for m in part:
-        target = m.matched_image
-        cdm = cache.load_mip(target, ComputeFileType.InputColorDepthImage).image
-        grad = cache.load_mip(target, ComputeFileType.GradientImage).image
-        zgap = cache.load_mip(target, ComputeFileType.ZGapImage).image
-        if cdm is None or grad is None:
+        planes = _target_planes_cached(m.matched_image, cache, args,
+                                       excluded, planes_cache)
+        if planes is None:
             # no negative score possible
             # (Shape2DMatchColorDepthSearchAlgorithm.java:155-158)
             m.gradient_area_gap = -1
             m.high_expression_area = -1
             continue
-        if zgap is None and not args.computeZGapOnTheFly:
-            m.gradient_area_gap = -1
-            m.high_expression_area = -1
-            continue
-        tplanes.append(build_target_shape_planes(
-            cdm, grad, zgap, args.maskThreshold, excluded))
+        tplanes.append(planes)
         scored_matches.append(m)
     if not tplanes:
         return []
