@@ -51,6 +51,8 @@ def add_parser(subparsers) -> None:
     p.add_argument("--processing-tag", default=None)
     p.add_argument("--write-batch-size", type=int, default=0,
                    help="flush results every N masks (0 = at end)")
+    p.add_argument("--db", default=None,
+                   help="write matches to this SQLite store instead of JSON")
     p.add_argument("--engine", choices=("auto", "dense", "pallas"),
                    default="auto",
                    help="scoring engine: active-tile Pallas kernel on TPU, "
@@ -194,12 +196,14 @@ def run(args: argparse.Namespace) -> int:
                     all_matches.append(m)
 
     n_groups = 0
-    if args.output_dir:
+    if args.db or args.output_dir:
         import os
-        per_masks = os.path.join(args.output_dir, args.perMaskSubdir)
+        from .backends import matches_writer
+        per_masks = (os.path.join(args.output_dir, args.perMaskSubdir)
+                     if args.output_dir else None)
         per_targets = (os.path.join(args.output_dir, args.perTargetSubdir)
-                       if args.perTargetSubdir else None)
-        writer = JSONNeuronMatchesWriter(per_masks, per_targets)
+                       if args.output_dir and args.perTargetSubdir else None)
+        writer = matches_writer(args.db, per_masks, per_targets)
         n_groups = writer.write(all_matches)
     LOG.info("found %d matches (%d masks) in %.1fs",
              len(all_matches), n_groups, time.time() - t_start)

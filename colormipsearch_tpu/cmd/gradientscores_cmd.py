@@ -34,8 +34,10 @@ def add_parser(subparsers) -> None:
                               help="gradient/shape score re-ranking")
     add_common_args(p)
     add_cds_params(p)
-    p.add_argument("-md", "--matchesDir", required=True,
+    p.add_argument("-md", "--matchesDir", default=None,
                    help="per-mask matches dir (from colorDepthSearch)")
+    p.add_argument("--db", default=None,
+                   help="read/write matches in this SQLite store")
     p.add_argument("--masks-mip-ids", nargs="*", default=None,
                    help="only process these mask MIP ids")
     p.add_argument("--nBestLines", type=int, default=-1)
@@ -57,7 +59,8 @@ def _load_mask_image(mask, cache: MIPsCache):
 
 def run(args: argparse.Namespace) -> int:
     t_start = time.time()
-    reader = JSONNeuronMatchesReader(args.matchesDir)
+    from .backends import matches_reader, matches_writer
+    reader = matches_reader(args.db, args.matchesDir)
     selector = DataSourceParam(mip_ids=args.masks_mip_ids or [])
     mask_locations = reader.list_match_locations([selector])
     LOG.info("found %d masks with matches", len(mask_locations))
@@ -109,9 +112,9 @@ def run(args: argparse.Namespace) -> int:
             if m.matched_image is not None:
                 m.matched_image.add_processed_tag(ProcessingType.GradientScore, tag)
         # rewrite the per-mask group file with the FULL match list, the
-        # scored subset carrying its updates (Mongo-update semantics on
-        # the FS backend)
-        writer = JSONNeuronMatchesWriter(args.matchesDir)
+        # scored subset carrying its updates (field-level updates on the
+        # DB backend; whole-group rewrite on the FS backend)
+        writer = matches_writer(args.db, args.matchesDir)
         writer.write_updates(matches, ["gradientAreaGap", "highExpressionArea",
                                        "normalizedScore"])
     LOG.info("updated %d matches in %.1fs", len(updated), time.time() - t_start)

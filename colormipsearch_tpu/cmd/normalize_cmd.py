@@ -26,7 +26,8 @@ def add_parser(subparsers) -> None:
         # (cmd/Main.java:32-43)
         p = subparsers.add_parser(name, help="normalize gradient scores")
         add_common_args(p)
-        p.add_argument("-md", "--matchesDir", required=True)
+        p.add_argument("-md", "--matchesDir", default=None)
+        p.add_argument("--db", default=None)
         p.add_argument("--masks-mip-ids", nargs="*", default=None)
         p.add_argument("--pctPositivePixels", type=float, default=0.0)
         p.add_argument("--processing-tag", default=None)
@@ -34,7 +35,8 @@ def add_parser(subparsers) -> None:
 
 
 def run(args: argparse.Namespace) -> int:
-    reader = JSONNeuronMatchesReader(args.matchesDir)
+    from .backends import matches_reader, matches_writer
+    reader = matches_reader(args.db, args.matchesDir)
     selector = DataSourceParam(mip_ids=args.masks_mip_ids or [])
     mask_locations = reader.list_match_locations([selector])
     n = 0
@@ -60,7 +62,7 @@ def run(args: argparse.Namespace) -> int:
                 m.matched_image.add_processed_tag(
                     ProcessingType.NormalizeGradientScore, tag)
         n += len(with_scores)
-        JSONNeuronMatchesWriter(args.matchesDir).write_updates(
-            matches, ["normalizedScore"])
+        matches_writer(args.db, args.matchesDir).write_updates(
+            matches if not args.db else with_scores, ["normalizedScore"])
     LOG.info("normalized %d matches", n)
     return 0
