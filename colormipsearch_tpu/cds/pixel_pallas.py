@@ -217,26 +217,22 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
 
         q = _unpack(q_ref[0])
 
-        for tbi in range(tb):
+        def target_body(tbi, _):
             # one (8,128) VMEM load of the PACKED window per variant, then
             # unpack — keeps live vregs ~14 instead of holding 12 unpacked
             # (24,384) planes (which spills)
-            sums = []
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
                 wd = win_d[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                md = _match_unpacked(q, _unpack(wd), zt9).astype(jnp.int32)
-                sums.append(md.sum(axis=0, keepdims=True))
-            for vi, (dx, dy) in enumerate(shifts):
-                r0, c0 = TILE_H + dy, TILE_W + dx
                 wm = win_m[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                md = _match_unpacked(q, _unpack(wd), zt9).astype(jnp.int32)
                 mm = _match_unpacked(q, _unpack(wm), zt9).astype(jnp.int32)
-                sums.append(mm.sum(axis=0, keepdims=True))
-            # assemble all variant lane-sums and accumulate in one add
-            pad_rows = NV_PAD - len(sums)
-            block = jnp.concatenate(
-                sums + [jnp.zeros((pad_rows, TILE_W), jnp.int32)], axis=0)
-            acc[tbi] += block
+                # per-lane partial sums; one accumulator sublane/variant
+                acc[tbi, vi, :] += md.sum(axis=0)
+                acc[tbi, n_shifts + vi, :] += mm.sum(axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, tb, target_body, 0)
 
         @pl.when(k == n_k - 1)
         def _():
@@ -308,7 +304,7 @@ class ActiveTilePixelEngine:
         self.interpret = interpret
         # targets scored per kernel step; one slab DMA per step amortizes
         # DMA latency over target_block * n_variants tile scorings
-        self.target_block = 8
+        self.target_block = 16
         self.tiles = build_active_tiles(self.planes, self.pad)
 
     def prepare_targets(self, targets_u8: np.ndarray):
