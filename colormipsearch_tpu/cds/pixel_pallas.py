@@ -217,19 +217,32 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
 
         q = _unpack(q_ref[0])
 
-        def target_body(tbi, _):
+        def variant_loop(win, tbi, base_vi):
             # one (8,128) VMEM load of the PACKED window per variant, then
             # unpack — keeps live vregs ~14 instead of holding 12 unpacked
             # (24,384) planes (which spills)
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
-                wd = win_d[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                wm = win_m[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                md = _match_unpacked(q, _unpack(wd), zt9).astype(jnp.int32)
-                mm = _match_unpacked(q, _unpack(wm), zt9).astype(jnp.int32)
-                # per-lane partial sums; one accumulator sublane/variant
-                acc[tbi, vi, :] += md.sum(axis=0)
-                acc[tbi, n_shifts + vi, :] += mm.sum(axis=0)
+                w = win[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                m = _match_unpacked(q, _unpack(w), zt9).astype(jnp.int32)
+                acc[tbi, base_vi + vi, :] += m.sum(axis=0)
+
+        def target_body(tbi, _):
+            # a window with no above-threshold target pixel cannot match
+            # anything: skip its whole variant sweep (neuron signal covers
+            # only a few percent of the frame, so most (tile, target)
+            # pairs take this early out)
+            any_d = jnp.max((win_d[slot, tbi] >> 19) & 1)
+            any_m = jnp.max((win_m[slot, tbi] >> 19) & 1)
+
+            @pl.when(any_d > 0)
+            def _():
+                variant_loop(win_d, tbi, 0)
+
+            @pl.when(any_m > 0)
+            def _():
+                variant_loop(win_m, tbi, n_shifts)
+
             return 0
 
         jax.lax.fori_loop(0, tb, target_body, 0)

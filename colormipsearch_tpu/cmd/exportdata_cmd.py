@@ -42,6 +42,10 @@ def add_parser(subparsers) -> None:
     p.set_defaults(func=run)
 
 
+REQUIRED_EXPORT_ATTRS = ("mipId", "libraryName", "publishedName",
+                         "alignmentSpace")
+
+
 def neuron_metadata(e: NeuronEntity) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
     dto/AbstractNeuronMetadata.java:43-61)."""
@@ -49,17 +53,30 @@ def neuron_metadata(e: NeuronEntity) -> Dict:
                "libraryName": e.library_name,
                "publishedName": e.published_name,
                "alignmentSpace": e.alignment_space}
-    gender = getattr(e, "gender", None)
-    if gender is not None:
-        d["gender"] = gender.name
-    anatomical = getattr(e, "anatomical_area", None)
-    if anatomical:
-        d["anatomicalArea"] = anatomical
+    for attr, key in (("gender", "gender"),
+                      ("anatomical_area", "anatomicalArea"),
+                      ("objective", "objective"),
+                      ("slide_code", "slideCode"),
+                      ("neuron_type", "neuronType"),
+                      ("neuron_instance", "neuronInstance")):
+        v = getattr(e, attr, None)
+        if v is not None:
+            d[key] = v.name if hasattr(v, "name") and attr == "gender" else v
+    if e.neuron_terms:
+        d["neuronTerms"] = list(e.neuron_terms)
     if e.files:
         d["files"] = {t.name: v for t, v in sorted(e.files.items(),
                                                    key=lambda kv: kv[0].name)}
     d["type"] = ("EMImage" if type(e).__name__.startswith("EM") else "LMImage")
     return d
+
+
+def validate_export_metadata(d: Dict) -> List[str]:
+    """Required-attribute validation (the reference rejects exports with
+    missing attrs via Jackson ValidatingSerializer,
+    dto/WithAllRequiredAttrs / cmd/dataexport; here invalid records are
+    skipped with an error report)."""
+    return [k for k in REQUIRED_EXPORT_ATTRS if not d.get(k)]
 
 
 def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
@@ -93,16 +110,27 @@ def _export_cd_matches(args, by_target: bool) -> int:
         if not selected:
             continue
         mask = selected[0].mask_image
+        mask_meta = neuron_metadata(mask)
+        missing = validate_export_metadata(mask_meta)
+        if missing:
+            LOG.warning("skipping export for %s: missing attrs %s",
+                        mip_id, missing)
+            continue
         results = []
         for m in selected:
-            r = {"image": neuron_metadata(m.matched_image),
+            image_meta = neuron_metadata(m.matched_image)
+            if validate_export_metadata(image_meta):
+                LOG.warning("skipping match in %s: target missing attrs %s",
+                            mip_id, validate_export_metadata(image_meta))
+                continue
+            r = {"image": image_meta,
                  "mirrored": m.mirrored,
                  "normalizedScore": m.normalized_score,
                  "matchingPixels": m.matching_pixels}
             if m.match_files:
                 r["files"] = {t.name: v for t, v in m.match_files.items()}
             results.append(r)
-        doc = {"inputImage": neuron_metadata(mask), "results": results}
+        doc = {"inputImage": mask_meta, "results": results}
         with open(os.path.join(out_dir, f"{mip_id}.json"), "w") as f:
             json.dump(doc, f, indent=2)
         n += len(results)
