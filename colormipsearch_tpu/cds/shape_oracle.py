@@ -47,6 +47,20 @@ class QueryShapePlanes:
     height: int
     width: int
 
+    def active_row_range(self) -> tuple:
+        """Row band outside which every per-pixel term is provably zero:
+        the gap op needs q_nonzero (slice-gap term) or q_mask (grad
+        default term, q_mask subset of q_nonzero), the high-expression
+        sum needs high_expr. Rows are rounded to multiples of 8 for
+        clean device tiling."""
+        rows = np.nonzero(self.q_nonzero.any(axis=1)
+                          | self.high_expr.astype(bool).any(axis=1))[0]
+        if len(rows) == 0:
+            return (0, min(8, self.height))
+        r0 = (int(rows[0]) // 8) * 8
+        r1 = min(-(-(int(rows[-1]) + 1) // 8) * 8, self.height)
+        return (r0, r1)
+
 
 def build_query_shape_planes(query: Image,
                              excluded: Optional[np.ndarray] = None,

@@ -165,12 +165,19 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     if not tplanes:
         return []
 
-    grad = np.stack([t.grad for t in tplanes])
-    znz = np.stack([t.z_nonzero for t in tplanes])
-    zsl = np.stack([t.z_slice for t in tplanes])
-    tab = np.stack([t.t_above for t in tplanes])
-    out = shape_score_kernel(qplanes.q_nonzero, qplanes.q_slice,
-                             qplanes.q_mask, qplanes.high_expr,
+    # crop to the query's active row band: outside it every gap /
+    # high-expression term is provably zero (QueryShapePlanes
+    # .active_row_range), typically a ~2x compute cut. NB the mirror
+    # pass only flips columns, so row cropping is mirror-safe.
+    r0, r1 = qplanes.active_row_range()
+    grad = np.stack([t.grad[r0:r1] for t in tplanes])
+    znz = np.stack([t.z_nonzero[r0:r1] for t in tplanes])
+    zsl = np.stack([t.z_slice[r0:r1] for t in tplanes])
+    tab = np.stack([t.t_above[r0:r1] for t in tplanes])
+    out = shape_score_kernel(qplanes.q_nonzero[r0:r1],
+                             qplanes.q_slice[r0:r1],
+                             qplanes.q_mask[r0:r1],
+                             qplanes.high_expr[r0:r1],
                              grad, znz, zsl, tab, mirror=args.mirrorMask)
     gaps, high, score, use_m = finish_shape_scores(*out, mirror=args.mirrorMask)
     for i, m in enumerate(scored_matches):
