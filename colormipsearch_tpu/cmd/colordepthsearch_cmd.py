@@ -77,16 +77,24 @@ def _read_mips(files: List[str], index: int, length: int):
     return param.apply_slice(entities)
 
 
-def _load_target_images(targets, cache: MIPsCache):
+def _load_target_images(targets, cache: MIPsCache, workers: int = 8):
+    """Decode a target partition with a thread pool (PIL releases the
+    GIL during decode). Counterpart of the reference's I/O-side
+    parallelism (LocalColorMIPSearchProcessor's executor, P1/P4)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(t):
+        return t, cache.load_mip(t, ComputeFileType.InputColorDepthImage)
+
     loaded, entities = [], []
-    for t in targets:
-        mip = cache.load_mip(t, ComputeFileType.InputColorDepthImage)
-        if mip.image is None:
-            LOG.warning("no input image for target %s", t.mip_id)
-            continue
-        loaded.append(mip.image.pixels if mip.image.pixels.ndim == 3
-                      else np.repeat(mip.image.pixels[..., None], 3, axis=2))
-        entities.append(t)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for t, mip in pool.map(load, targets):
+            if mip.image is None:
+                LOG.warning("no input image for target %s", t.mip_id)
+                continue
+            loaded.append(mip.image.pixels if mip.image.pixels.ndim == 3
+                          else np.repeat(mip.image.pixels[..., None], 3, axis=2))
+            entities.append(t)
     return loaded, entities
 
 
@@ -169,6 +177,20 @@ def run(args: argparse.Namespace) -> int:
                 yield (np.asarray(s), np.asarray(m),
                        [(mask, qp.query_size) for mask, qp in mask_block])
 
+    # batched incremental flush to the DB backend
+    # (ColorDepthSearchCmd.java:316-335 --write-batch-size; the grouped
+    # JSON layout requires whole-mask files so the FS backend writes at
+    # the end)
+    flushed = 0
+
+    def maybe_flush():
+        nonlocal flushed
+        if args.db and args.write_batch_size > 0 \
+                and len(all_matches) - flushed >= args.write_batch_size:
+            from .backends import matches_writer
+            matches_writer(args.db, None).write(all_matches[flushed:])
+            flushed = len(all_matches)
+
     for part in target_parts:
         t_imgs, t_entities = _load_target_images(part, cache)
         if not t_imgs:
@@ -194,6 +216,7 @@ def run(args: argparse.Namespace) -> int:
                     mask.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)
                     target.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)
                     all_matches.append(m)
+        maybe_flush()
 
     n_groups = 0
     if args.db or args.output_dir:
@@ -204,7 +227,10 @@ def run(args: argparse.Namespace) -> int:
         per_targets = (os.path.join(args.output_dir, args.perTargetSubdir)
                        if args.output_dir and args.perTargetSubdir else None)
         writer = matches_writer(args.db, per_masks, per_targets)
-        n_groups = writer.write(all_matches)
+        if args.db and flushed:
+            n_groups = writer.write(all_matches[flushed:]) if flushed < len(all_matches) else 0
+        else:
+            n_groups = writer.write(all_matches)
     LOG.info("found %d matches (%d masks) in %.1fs",
              len(all_matches), n_groups, time.time() - t_start)
     return 0
