@@ -53,6 +53,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="MIP image cache size")
     p.add_argument("-od", "--od", "--outputDir", dest="output_dir",
                    default=None, help="output directory")
+    p.add_argument("--array-cache", dest="array_cache", default=None,
+                   help="packed .npy array cache dir (decode-once ingest)")
 
 
 def add_cds_params(p: argparse.ArgumentParser) -> None:

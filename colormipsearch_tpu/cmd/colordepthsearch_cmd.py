@@ -114,7 +114,11 @@ def run(args: argparse.Namespace) -> int:
     session_id = idgen.generate_id()
     run_tag = args.processing_tag or str(session_id)
 
-    cache = MIPsCache(args.cacheSize)
+    array_store = None
+    if getattr(args, "array_cache", None):
+        from ..imageproc.store import PackedArrayStore
+        array_store = PackedArrayStore(args.array_cache)
+    cache = MIPsCache(args.cacheSize, array_store=array_store)
     zt9 = z_tolerance_to_zt9(args.pixColorFluctuation)
     shifts = jnp.asarray(np.asarray(shift_ring_offsets(args.xyShift),
                                     dtype=np.int32))

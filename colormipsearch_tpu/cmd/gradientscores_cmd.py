@@ -65,7 +65,11 @@ def run(args: argparse.Namespace) -> int:
     mask_locations = reader.list_match_locations([selector])
     LOG.info("found %d masks with matches", len(mask_locations))
 
-    cache = MIPsCache(args.cacheSize)
+    array_store = None
+    if getattr(args, "array_cache", None):
+        from ..imageproc.store import PackedArrayStore
+        array_store = PackedArrayStore(args.array_cache)
+    cache = MIPsCache(args.cacheSize, array_store=array_store)
     scores_filter = ScoresFilter()
     if args.pctPositivePixels:
         scores_filter.add("matchingRatio", args.pctPositivePixels / 100.0)

@@ -80,25 +80,35 @@ class MIPsCache:
     (CachedMIPsUtils.java:19-112; production sizes 100k-200k entries,
     scripts/cdsparams.sh:22-25)."""
 
-    def __init__(self, max_size: int = 100_000):
+    def __init__(self, max_size: int = 100_000, array_store=None):
         self.max_size = max_size
+        # optional imageproc.store.PackedArrayStore for cross-run
+        # decode-once caching
+        self.array_store = array_store
         self._cache: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
 
     def _key(self, neuron: NeuronEntity, file_type: ComputeFileType):
         return (neuron.entity_id or neuron.mip_id, file_type)
 
+    def _load(self, neuron: NeuronEntity,
+              file_type: ComputeFileType) -> NeuronMIP:
+        if self.array_store is not None:
+            fd = neuron.compute_file(file_type)
+            return NeuronMIP(neuron, fd, self.array_store.load(fd))
+        return load_compute_file(neuron, file_type)
+
     def load_mip(self, neuron: NeuronEntity,
                  file_type: ComputeFileType) -> NeuronMIP:
         if self.max_size <= 0:
-            return load_compute_file(neuron, file_type)
+            return self._load(neuron, file_type)
         key = self._key(neuron, file_type)
         with self._lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
                 img = self._cache[key]
                 return NeuronMIP(neuron, neuron.compute_file(file_type), img)
-        mip = load_compute_file(neuron, file_type)
+        mip = self._load(neuron, file_type)
         with self._lock:
             self._cache[key] = mip.image
             self._cache.move_to_end(key)
