@@ -144,7 +144,12 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
     tile_sel = sel.reshape(gh, TILE_H, gw, TILE_W).any(axis=(1, 3)).reshape(-1)
     idx = np.nonzero(tile_sel)[0]
     n_active = len(idx)
-    k = max(n_active, 1)
+    # round the tile count up to a power-of-two bucket: K is a static
+    # kernel shape, so without bucketing every distinct mask would
+    # recompile the kernel (padding tiles have sel=0 and score nothing)
+    k = 16
+    while k < n_active:
+        k *= 2
     q_tiles = np.zeros((k, TILE_H, TILE_W), dtype=np.int32)
     coords = np.zeros((k, 2), dtype=np.int32)
     for i, ti in enumerate(idx):
