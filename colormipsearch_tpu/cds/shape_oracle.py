@@ -56,9 +56,14 @@ class QueryShapePlanes:
         rows = np.nonzero(self.q_nonzero.any(axis=1)
                           | self.high_expr.astype(bool).any(axis=1))[0]
         if len(rows) == 0:
-            return (0, min(8, self.height))
+            return (0, min(64, self.height))
         r0 = (int(rows[0]) // 8) * 8
         r1 = min(-(-(int(rows[-1]) + 1) // 8) * 8, self.height)
+        # bucket the band height to multiples of 64 rows so the jitted
+        # shape kernel sees few distinct static shapes across masks
+        height = -(-(r1 - r0) // 64) * 64
+        r1 = min(r0 + height, self.height)
+        r0 = max(r1 - height, 0)
         return (r0, r1)
 
 
