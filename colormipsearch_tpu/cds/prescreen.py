@@ -1,0 +1,190 @@
+"""MXU prescreen: a provable upper bound on pixel-match scores.
+
+Two-phase exact search (ROADMAP item 1). Phase 1 bounds every
+(mask, target) pair's best-variant score with one MXU matmul; only
+pairs whose bound clears the keep threshold (score > 0 and
+ratio > pctPositivePixels/100, ColorMIPSearch.java:42-46) reach the
+exact active-tile kernel. Phase 2 is unchanged, so results are
+bit-identical with the screen on or off.
+
+The bound: quantize each pixel's hue state into B_SECT x NB bins
+(sector, ratio decile). For any shift/mirror variant,
+
+  score = sum_p [qsel(p)] [tsel(p+o)] [gap-ok(q(p), t(p+o))]
+       <= sum_{tiles τ} sum_{bins j} u[τ, j] * w01[τ, j]
+
+where u[τ, j] counts query pixels of bin j in 8x128 tile τ, and
+w01[τ, j] = 1 iff the shift-expanded tile τ⊕xyshift contains ANY
+above-threshold target pixel whose bin is gap-compatible with j (the
+compat relation is a superset of the exact predicate by interval
+arithmetic over bin edges — see compat_matrix). The right side is the
+inner product of a per-mask feature vector and a per-target 0/1 feature
+vector: bounds for a (mask block x target block) are one
+[B, F] @ [F, T] matmul, F = ntiles * n_bins. Mirror variants use the
+same u against features of the x-flipped target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pixel_kernel import PAIR_K9
+
+NB = 10          # ratio bins per sector (width 0.1 >= any sane zTolerance)
+N_SECT = 6
+N_BINS = N_SECT * NB
+TILE_H = 8
+TILE_W = 128
+
+
+@functools.lru_cache(maxsize=8)
+def compat_matrix(zt9: int) -> np.ndarray:
+    """bool [N_BINS, N_BINS]: could ANY query pixel in bin jq match ANY
+    target pixel in bin jt under the exact gap predicate? Computed with
+    interval arithmetic over bin edges, erring on the inclusive side.
+
+    Exact predicate recap (AbstractColorDepthSearchAlgorithm.java:260-388):
+    - same sector: |r1 - r2| <= zTol, both ratios > 0
+    - adjacent (lo, lo+1): side preconditions and
+        lo odd:  r_lo-side < c_lo, r_hi-side < c_hi, r1 + r2 <= 2K + zTol
+        lo even: both > 0.8,                      r1 + r2 >= 2K - zTol
+      with (c_lo, c_hi) = (0.44, 0.54) for pair (1,2) and 0.7/0.7 for
+      pairs (3,4), (5,6).
+    """
+    zt = zt9 / 1e9
+    if zt > 1.0 / NB:
+        raise ValueError("zTolerance exceeds the prescreen bin width")
+    delta = 1.0 / NB
+    compat = np.zeros((N_BINS, N_BINS), dtype=bool)
+
+    def bin_range(j):
+        rb = j % NB
+        return rb * delta, (rb + 1) * delta  # [lo, hi)
+
+    pair_k = {lo: PAIR_K9[lo - 1] / 1e9 for lo in range(1, 6)}
+    for jq in range(N_BINS):
+        sq = jq // NB + 1
+        q_lo, q_hi = bin_range(jq)
+        for jt in range(N_BINS):
+            st = jt // NB + 1
+            t_lo, t_hi = bin_range(jt)
+            if sq == st:
+                # |r1 - r2| <= zt possible iff intervals within zt
+                # (inclusive comparisons: over-inclusion is free)
+                if q_lo - zt <= t_hi and t_lo - zt <= q_hi:
+                    compat[jq, jt] = True
+                continue
+            if abs(sq - st) != 1:
+                continue
+            lo = min(sq, st)
+            k2 = 2 * pair_k[lo]
+            if lo in (2, 4):
+                # both ratios > 0.8 and r1 + r2 >= 2K - zt
+                if q_hi >= 0.8 and t_hi >= 0.8 and q_hi + t_hi >= k2 - zt:
+                    compat[jq, jt] = True
+            else:
+                if lo == 1:
+                    c_q = 0.44 if sq == 1 else 0.54
+                    c_t = 0.44 if st == 1 else 0.54
+                else:
+                    c_q = c_t = 0.7
+                # both below their cutoffs and r1 + r2 <= 2K + zt
+                if q_lo <= c_q and t_lo <= c_t and q_lo + t_lo <= k2 + zt:
+                    compat[jq, jt] = True
+    return compat
+
+
+def bin_plane_from_words(words, xp=jnp):
+    """Per-pixel bin id in [0, N_BINS) or -1 for unselected/no-sector
+    pixels. `words` are packed scorer words (pixel_kernel layout)."""
+    b = words & 0xFF
+    a = (words >> 8) & 0xFF
+    s = (words >> 16) & 0x7
+    sel = (words >> 19) & 1
+    # rbin via integer arithmetic: floor(a/b * NB) (b >= 1); clamp to NB-1
+    rb = xp.minimum((a * NB) // xp.maximum(b, 1), NB - 1)
+    bins = (s - 1) * NB + rb
+    return xp.where((sel > 0) & (s > 0), bins, -1)
+
+
+def query_features(words: np.ndarray) -> np.ndarray:
+    """f32 [ntiles * N_BINS] tile-bin counts for a query (host)."""
+    h, w = words.shape
+    gh = -(-h // TILE_H)
+    gw = -(-w // TILE_W)
+    padded = np.full((gh * TILE_H, gw * TILE_W), -1, dtype=np.int64)
+    padded[:h, :w] = bin_plane_from_words(words.astype(np.int64), xp=np)
+    tiles = padded.reshape(gh, TILE_H, gw, TILE_W).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(gh * gw, TILE_H * TILE_W)
+    feats = np.zeros((gh * gw, N_BINS), dtype=np.float32)
+    for j in range(N_BINS):
+        feats[:, j] = (tiles == j).sum(axis=1)
+    return feats.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("zt9", "xy_shift", "grid_hw"))
+def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
+    """f32 [T, ntiles * N_BINS] compat-presence features (device).
+
+    t_words: [T, H, W] packed target planes (unpadded frame).
+    w01[τ, j] = 1 iff the (tile ⊕ xy_shift) region holds a target pixel
+    whose bin k has compat[j, k].
+    """
+    gh, gw = grid_hw
+    tsz, h, w = t_words.shape
+    bins = bin_plane_from_words(t_words)
+    pad = max(xy_shift, 0)
+    # presence[t, τ, k]: any bin-k pixel in the expanded tile
+    # == tile-any of the (2*pad+1)-box-dilated bin mask
+    presences = []
+    for k in range(N_BINS):
+        mask = (bins == k)
+        if pad:
+            mask = jax.lax.reduce_window(
+                mask, False, jax.lax.bitwise_or,
+                (1, 2 * pad + 1, 2 * pad + 1), (1, 1, 1), "same")
+        padded = jnp.zeros((tsz, gh * TILE_H, gw * TILE_W), bool)
+        padded = padded.at[:, :h, :w].set(mask)
+        tile_any = padded.reshape(tsz, gh, TILE_H, gw, TILE_W).any(axis=(2, 4))
+        presences.append(tile_any.reshape(tsz, gh * gw))
+    presence = jnp.stack(presences, axis=-1).astype(jnp.float32)  # [T, nt, K]
+    compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
+    w01 = (presence @ compat.T) > 0                               # [T, nt, J]
+    return w01.astype(jnp.float32).reshape(tsz, -1)
+
+
+@jax.jit
+def screen_bounds(u_feats, w_feats_dir, w_feats_mir):
+    """[B, T] upper bounds: max of direct and mirror feature products."""
+    bd = u_feats @ w_feats_dir.T
+    bm = u_feats @ w_feats_mir.T
+    return jnp.maximum(bd, bm)
+
+
+class PairPrescreen:
+    """Block-level screen: survivors(mask, targets) -> boolean [T]."""
+
+    def __init__(self, zt9: int, xy_shift: int, height: int, width: int):
+        self.zt9 = zt9
+        self.xy_shift = xy_shift
+        self.grid_hw = (-(-height // TILE_H), -(-width // TILE_W))
+        self.height = height
+        self.width = width
+
+    def target_features(self, t_words, t_words_flipped):
+        wd = target_features(t_words, self.zt9, self.xy_shift, self.grid_hw)
+        wm = target_features(t_words_flipped, self.zt9, self.xy_shift,
+                             self.grid_hw)
+        return wd, wm
+
+    def query_features(self, words: np.ndarray) -> np.ndarray:
+        return query_features(words)
+
+    def bounds(self, u_block: np.ndarray, tfeats) -> np.ndarray:
+        wd, wm = tfeats
+        return np.asarray(screen_bounds(jnp.asarray(u_block), wd, wm))

@@ -165,20 +165,32 @@ def run(args: argparse.Namespace) -> int:
 
     def score_blocks(t_stack):
         """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
+        import jax
         if engine_kind == "pallas":
+            t0 = time.perf_counter()
             packed = prepared[0][1].prepare_targets(t_stack)
+            jax.block_until_ready(packed)
+            stage_totals["pack"] += time.perf_counter() - t0
             for mask, eng in prepared:
+                t0 = time.perf_counter()
                 s, _, m = eng.score_packed(packed)
+                stage_totals["score"] += time.perf_counter() - t0
                 yield s[None], m[None], [(mask, eng.tiles.query_size)]
         else:
+            t0 = time.perf_counter()
             t_padded, t_flipped = pack_targets(
                 jnp.asarray(t_stack), args.dataThreshold, pad)
+            jax.block_until_ready((t_padded, t_flipped))
+            stage_totals["pack"] += time.perf_counter() - t0
             for mask_block in partition_collection(prepared, args.maskBatchSize):
+                t0 = time.perf_counter()
                 q_words = jnp.asarray(
                     np.stack([qp.words for _, qp in mask_block]))
                 s, m = local_pixel_sweep(
                     q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
-                yield (np.asarray(s), np.asarray(m),
+                s, m = np.asarray(s), np.asarray(m)
+                stage_totals["score"] += time.perf_counter() - t0
+                yield (s, m,
                        [(mask, qp.query_size) for mask, qp in mask_block])
 
     # batched incremental flush to the DB backend
@@ -195,8 +207,12 @@ def run(args: argparse.Namespace) -> int:
             matches_writer(args.db, None).write(all_matches[flushed:])
             flushed = len(all_matches)
 
+    stage_totals = {"decode": 0.0, "pack": 0.0, "score": 0.0, "collect": 0.0}
+
     for part in target_parts:
+        t0 = time.perf_counter()
         t_imgs, t_entities = _load_target_images(part, cache)
+        stage_totals["decode"] += time.perf_counter() - t0
         if not t_imgs:
             continue
         for scores_blk, mirrored_blk, block in score_blocks(np.stack(t_imgs)):
@@ -235,6 +251,8 @@ def run(args: argparse.Namespace) -> int:
             n_groups = writer.write(all_matches[flushed:]) if flushed < len(all_matches) else 0
         else:
             n_groups = writer.write(all_matches)
+    LOG.info("stage times: %s",
+             {k: round(v, 2) for k, v in stage_totals.items()})
     LOG.info("found %d matches (%d masks) in %.1fs",
              len(all_matches), n_groups, time.time() - t_start)
     return 0
