@@ -53,6 +53,12 @@ def add_parser(subparsers) -> None:
                    help="flush results every N masks (0 = at end)")
     p.add_argument("--db", default=None,
                    help="write matches to this SQLite store instead of JSON")
+    p.add_argument("--process-id", type=int,
+                   default=int(__import__("os").environ.get("CMS_PROCESS_ID", -1)),
+                   help="grid block index for multi-process sweeps")
+    p.add_argument("--process-count", type=int,
+                   default=int(__import__("os").environ.get("CMS_PROCESS_COUNT", 0)),
+                   help="total grid processes")
     p.add_argument("--engine", choices=("auto", "dense", "pallas"),
                    default="auto",
                    help="scoring engine: active-tile Pallas kernel on TPU, "
@@ -105,6 +111,16 @@ def run(args: argparse.Namespace) -> int:
     t_start = time.time()
     masks = _read_mips(args.masks, args.masks_index, args.masks_length)
     targets = _read_mips(args.targets, args.targets_index, args.targets_length)
+    if args.process_count > 0 and args.process_id >= 0:
+        # deterministic grid block, restartable per process id
+        # (the LSF job-array mapping, submitCDSJob.sh:58-66)
+        from ..parallel.distributed import block_for_process
+        blk = block_for_process(len(masks), len(targets),
+                                args.process_id, args.process_count)
+        masks = masks[blk.mask_offset:blk.mask_offset + blk.mask_length]
+        targets = targets[blk.target_offset:blk.target_offset + blk.target_length]
+        LOG.info("process %d/%d owns block %s", args.process_id,
+                 args.process_count, blk)
     LOG.info("read %d masks, %d targets", len(masks), len(targets))
     if not masks or not targets:
         LOG.warning("nothing to search")
