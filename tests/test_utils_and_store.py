@@ -1,0 +1,42 @@
+"""Telemetry helpers and the packed array cache."""
+
+import logging
+
+import numpy as np
+
+from colormipsearch_tpu.imageproc.store import PackedArrayStore
+from colormipsearch_tpu.model import FileData
+from colormipsearch_tpu.utils import StageTimer, log_memory_usage, processing_context
+from colormipsearch_tpu.utils.telemetry import current_context
+
+
+def test_processing_context_nesting():
+    assert current_context() == {}
+    with processing_context(maskId="m1"):
+        assert current_context() == {"maskId": "m1"}
+        with processing_context(targetId="t1"):
+            assert current_context() == {"maskId": "m1", "targetId": "t1"}
+        assert current_context() == {"maskId": "m1"}
+    assert current_context() == {}
+
+
+def test_stage_timer_and_memory(caplog):
+    with caplog.at_level(logging.INFO, "colormipsearch_tpu.telemetry"):
+        with StageTimer("unit-test-stage", total_items=2) as t:
+            t.add_items(2)
+    assert any("unit-test-stage" in r.message for r in caplog.records)
+    assert log_memory_usage("test") > 0
+
+
+def test_packed_array_store_roundtrip(tmp_path, fixtures_dir):
+    store = PackedArrayStore(str(tmp_path / "cache"))
+    fd = FileData.from_string(str(fixtures_dir / "ems" / "12191_JRC2018U.tif"))
+    img1 = store.load(fd)
+    assert img1 is not None
+    # second load comes from the .npy cache (memory-mapped)
+    img2 = store.load(fd)
+    np.testing.assert_array_equal(np.asarray(img1.pixels),
+                                  np.asarray(img2.pixels))
+    assert len(list((tmp_path / "cache").glob("*.npy"))) == 1
+    assert store.load(None) is None
+    assert store.load(FileData.from_string("/nonexistent/file.tif")) is None
