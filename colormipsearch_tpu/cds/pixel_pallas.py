@@ -116,7 +116,7 @@ def _match_unpacked(q, t, zt9: int):
 class ActiveTiles:
     """Host-prepared active-tile decomposition of one query."""
     q_tiles: np.ndarray   # int32 [K, TILE_H, TILE_W]
-    coords: np.ndarray    # int32 [K, 2]: window origin (row, col) in padded frame
+    coords: np.ndarray    # int32 [K, 3]: window origin (row, col), n_active
     n_active: int
     query_size: int
     height: int
@@ -144,14 +144,14 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
     tile_sel = sel.reshape(gh, TILE_H, gw, TILE_W).any(axis=(1, 3)).reshape(-1)
     idx = np.nonzero(tile_sel)[0]
     n_active = len(idx)
-    # round the tile count up to a power-of-two bucket: K is a static
-    # kernel shape, so without bucketing every distinct mask would
-    # recompile the kernel (padding tiles have sel=0 and score nothing)
-    k = 16
-    while k < n_active:
-        k *= 2
+    # pad the tile count to one of two fixed buckets: K is a static
+    # kernel shape, so per-mask counts would otherwise recompile the
+    # kernel for every distinct mask. Padding steps beyond n_active are
+    # skipped inside the kernel (no DMA, no compute).
+    k = 128 if n_active <= 128 else 768
     q_tiles = np.zeros((k, TILE_H, TILE_W), dtype=np.int32)
-    coords = np.zeros((k, 2), dtype=np.int32)
+    coords = np.zeros((k, 3), dtype=np.int32)
+    coords[:, 2] = max(n_active, 1)
     for i, ti in enumerate(idx):
         ty, tx = divmod(int(ti), gw)
         q_tiles[i] = active[ti]
@@ -181,7 +181,7 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
     nv = 2 * n_shifts
     assert nv <= NV_PAD
 
-    def kernel(coords_ref, q_ref, t_hbm, tf_hbm, out_ref,
+    def kernel(coords_ref, surv_ref, q_ref, t_hbm, tf_hbm, out_ref,
                acc, win_d, win_m, sems):
         t = pl.program_id(0)
         k = pl.program_id(1)
@@ -208,17 +208,20 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
             m.wait()
 
         slot = jax.lax.rem(k, 2)
+        n_act = coords_ref[0, 2]
 
         @pl.when(k == 0)
         def _():
             acc[...] = jnp.zeros((tb, NV_PAD, TILE_W), dtype=jnp.int32)
             start_window(0, 0)
 
-        @pl.when(k + 1 < n_k)
+        @pl.when(k + 1 < n_act)
         def _():
             start_window(1 - slot, k + 1)
 
-        wait_window(slot, k)
+        @pl.when(k < n_act)
+        def _():
+            wait_window(slot, k)
 
         q = _unpack(q_ref[0])
 
@@ -233,24 +236,28 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
                 acc[tbi, base_vi + vi, :] += m.sum(axis=0)
 
         def target_body(tbi, _):
-            # a window with no above-threshold target pixel cannot match
-            # anything: skip its whole variant sweep (neuron signal covers
-            # only a few percent of the frame, so most (tile, target)
-            # pairs take this early out)
+            # two early outs: (1) the MXU prescreen marked this
+            # (mask, target) pair as provably below the keep threshold;
+            # (2) the window has no above-threshold target pixel. Neuron
+            # signal covers a few percent of the frame, so most
+            # (tile, target) pairs take one of these.
+            surv = surv_ref[t * tb + tbi]
             any_d = jnp.max((win_d[slot, tbi] >> 19) & 1)
             any_m = jnp.max((win_m[slot, tbi] >> 19) & 1)
 
-            @pl.when(any_d > 0)
+            @pl.when((surv > 0) & (any_d > 0))
             def _():
                 variant_loop(win_d, tbi, 0)
 
-            @pl.when(any_m > 0)
+            @pl.when((surv > 0) & (any_m > 0))
             def _():
                 variant_loop(win_m, tbi, n_shifts)
 
             return 0
 
-        jax.lax.fori_loop(0, tb, target_body, 0)
+        @pl.when(k < n_act)
+        def _():
+            jax.lax.fori_loop(0, tb, target_body, 0)
 
         @pl.when(k == n_k - 1)
         def _():
@@ -262,7 +269,7 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "pad", "shifts_tuple", "tb",
                                     "interpret"))
-def _active_tile_call(coords, q_tiles, t_padded, t_flipped,
+def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
                       zt9: int, pad: int, shifts_tuple, tb: int,
                       interpret: bool):
     tsz = t_padded.shape[0]
@@ -272,16 +279,16 @@ def _active_tile_call(coords, q_tiles, t_padded, t_flipped,
     kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tsz // tb, n_k),
         in_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c: (k, 0, 0),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c, s: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
-                               lambda t, k, c: (t, 0, 0),
+                               lambda t, k, c, s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
@@ -295,7 +302,7 @@ def _active_tile_call(coords, q_tiles, t_padded, t_flipped,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tsz, NV_PAD, TILE_W), jnp.int32),
         interpret=interpret,
-    )(coords, q_tiles, t_padded, t_flipped)
+    )(coords, survivors, q_tiles, t_padded, t_flipped)
     return lane_sums.sum(axis=2)[:, :nv]  # [T, nv]
 
 
@@ -325,20 +332,23 @@ class ActiveTilePixelEngine:
         self.target_block = 16
         self.tiles = build_active_tiles(self.planes, self.pad)
 
-    def prepare_targets(self, targets_u8: np.ndarray):
-        """Pack targets into the tile-aligned padded frame (+ x-flip)."""
-        import jax.numpy as jnp
+    def pack_raw_words(self, targets_u8: np.ndarray):
+        """Device-packed [T, H, W] scorer words (unpadded frame); also
+        the input for the MXU prescreen's target features."""
         from .pixel_kernel import pack_planes
-        tsz, h, w, _ = targets_u8.shape
-        gh = -(-h // TILE_H)
-        gw = -(-w // TILE_W)
         t = jnp.asarray(targets_u8)
         r = t[..., 0].astype(jnp.int32)
         g = t[..., 1].astype(jnp.int32)
         b = t[..., 2].astype(jnp.int32)
         above = ((r > self.target_threshold) | (g > self.target_threshold)
                  | (b > self.target_threshold))
-        words = pack_planes(r, g, b, above, jnp)
+        return pack_planes(r, g, b, above, jnp)
+
+    def pad_from_words(self, words):
+        """Tile-aligned ring-padded frame (+ x-flip) from raw words."""
+        _, h, w = words.shape
+        gh = -(-h // TILE_H)
+        gw = -(-w // TILE_W)
         # one full tile ring of padding on every side keeps each 3x3
         # super-tile window in-bounds AND (8, 128)-aligned for HBM DMA
         spec = ((0, 0), (TILE_H, gh * TILE_H - h + TILE_H),
@@ -350,14 +360,28 @@ class ActiveTilePixelEngine:
         flipped = jnp.pad(words[:, :, ::-1], spec, constant_values=1)
         return padded, flipped
 
-    def score_packed(self, packed) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def prepare_targets(self, targets_u8: np.ndarray):
+        """Pack targets into the tile-aligned padded frame (+ x-flip)."""
+        return self.pad_from_words(self.pack_raw_words(targets_u8))
+
+    def score_packed(self, packed, survivors=None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """survivors: optional uint8/int32 [T] bitmap from the MXU
+        prescreen; zero entries skip the exact sweep (their scores are
+        reported as 0, which is correct for any pair the screen's upper
+        bound already placed below the keep threshold)."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
         tb = self.target_block
         while tsz % tb:
             tb //= 2  # fall back to a divisor (tsz padded to tb upstream)
+        if survivors is None:
+            surv = jnp.ones((tsz,), jnp.int32)
+        else:
+            surv = jnp.asarray(np.asarray(survivors).astype(np.int32))
         out = _active_tile_call(
-            jnp.asarray(self.tiles.coords), jnp.asarray(self.tiles.q_tiles),
+            jnp.asarray(self.tiles.coords), surv,
+            jnp.asarray(self.tiles.q_tiles),
             t_padded, t_flipped, self.zt9, self.pad, self.shifts,
             max(tb, 1), self.interpret)
         out = np.asarray(out)  # [T, 2*S]

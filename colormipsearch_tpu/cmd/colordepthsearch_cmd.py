@@ -63,6 +63,9 @@ def add_parser(subparsers) -> None:
                    default="auto",
                    help="scoring engine: active-tile Pallas kernel on TPU, "
                         "dense XLA elsewhere")
+    p.add_argument("--prescreen", choices=("on", "off"), default="on",
+                   help="MXU upper-bound screen before the exact kernel "
+                        "(pallas engine only; results identical)")
     p.set_defaults(func=run)
 
 
@@ -179,17 +182,44 @@ def run(args: argparse.Namespace) -> int:
             prepared.append((mask, prepare_query_planes(
                 mip.image, args.maskThreshold, excluded)))
 
+    use_screen = (engine_kind == "pallas" and args.prescreen == "on")
+    screen = None
+    screen_u = {}
+    if use_screen and prepared:
+        from ..cds.prescreen import PairPrescreen
+        first_eng = prepared[0][1]
+        screen = PairPrescreen(zt9, args.xyShift,
+                               first_eng.tiles.height, first_eng.tiles.width)
+        for mask, eng in prepared:
+            screen_u[id(eng)] = screen.query_features(eng.planes.words)
+
     def score_blocks(t_stack):
         """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
         import jax
         if engine_kind == "pallas":
             t0 = time.perf_counter()
-            packed = prepared[0][1].prepare_targets(t_stack)
+            words = prepared[0][1].pack_raw_words(t_stack)
+            packed = prepared[0][1].pad_from_words(words)
+            tfeats = None
+            if screen is not None:
+                tfeats = screen.target_features(words, words[:, :, ::-1])
             jax.block_until_ready(packed)
             stage_totals["pack"] += time.perf_counter() - t0
             for mask, eng in prepared:
                 t0 = time.perf_counter()
-                s, _, m = eng.score_packed(packed)
+                survivors = None
+                if screen is not None:
+                    bounds = screen.bounds(screen_u[id(eng)][None], tfeats)[0]
+                    thr = max(ratio_threshold * eng.tiles.query_size, 0.5)
+                    survivors = (bounds > thr).astype(np.int32)
+                    stage_totals["screened"] = stage_totals.get("screened", 0)                         + int((survivors == 0).sum())
+                if survivors is not None and not survivors.any():
+                    tsz = t_stack.shape[0]
+                    z = np.zeros(tsz, dtype=np.int64)
+                    stage_totals["score"] += time.perf_counter() - t0
+                    yield z[None], np.zeros(tsz, bool)[None],                         [(mask, eng.tiles.query_size)]
+                    continue
+                s, _, m = eng.score_packed(packed, survivors=survivors)
                 stage_totals["score"] += time.perf_counter() - t0
                 yield s[None], m[None], [(mask, eng.tiles.query_size)]
         else:

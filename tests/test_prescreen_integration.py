@@ -1,0 +1,44 @@
+"""Survivor-bitmap path in the pallas kernel + screen equivalence."""
+
+import numpy as np
+
+from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
+from colormipsearch_tpu.cds.pixel_kernel import z_tolerance_to_zt9
+from colormipsearch_tpu.cds.prescreen import PairPrescreen
+
+
+def test_survivor_bitmap_and_screen_equivalence(fixtures_dir):
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded,
+                                   interpret=True)
+    lms = ["VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif",
+           "BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_HR-2483089192251293794-CH2-01_CDM.tif"]
+    targets = np.stack([load_image(fixtures_dir / "lms" / n).pixels
+                        for n in lms])
+
+    words = engine.pack_raw_words(targets)
+    packed = engine.pad_from_words(words)
+
+    # all-ones bitmap == no bitmap
+    s0, _, m0 = engine.score_packed(packed)
+    s1, _, m1 = engine.score_packed(packed, survivors=np.ones(2, np.int32))
+    np.testing.assert_array_equal(s0, s1)
+    assert list(s0) == [439, 414]
+
+    # zeroed target skipped
+    s2, _, _ = engine.score_packed(packed, survivors=np.array([1, 0], np.int32))
+    assert list(s2) == [439, 0]
+
+    # the screen keeps both golden pairs at the production 1% threshold
+    screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2,
+                           engine.tiles.height, engine.tiles.width)
+    tfeats = screen.target_features(words, words[:, :, ::-1])
+    bounds = screen.bounds(screen.query_features(engine.planes.words)[None],
+                           tfeats)[0]
+    thr = max(0.01 * engine.tiles.query_size, 0.5)
+    survivors = (bounds > thr).astype(np.int32)
+    assert survivors.all(), bounds
+    s3, _, _ = engine.score_packed(packed, survivors=survivors)
+    np.testing.assert_array_equal(s3, s0)
