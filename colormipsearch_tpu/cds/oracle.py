@@ -35,7 +35,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..imageproc.io import Image, ImageKind
+from ..imageproc.io import Image
 from .scores import PixelMatchScore
 
 BR_BG = 0.354862745

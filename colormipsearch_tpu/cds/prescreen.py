@@ -27,7 +27,6 @@ same u against features of the x-flipped target.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

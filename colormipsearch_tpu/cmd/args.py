@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import os
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 from ..imageproc.regions import label_regions_mask, no_regions_mask
 

@@ -8,7 +8,7 @@ otherwise the JSON fs layout is used.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 from ..dataio import (JSONNeuronMatchesReader, JSONNeuronMatchesWriter,
                       NeuronMatchesReader, NeuronMatchesWriter)

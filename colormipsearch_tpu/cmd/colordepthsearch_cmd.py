@@ -13,15 +13,15 @@ import argparse
 import getpass
 import logging
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from ..cds.oracle import shift_ring_offsets
 from ..cds.pixel_kernel import (pack_targets, prepare_query_planes,
                                 z_tolerance_to_zt9)
-from ..dataio import (DataSourceParam, JSONCDMIPsReader, JSONCDMIPsWriter,
-                      JSONCDSSessionWriter, JSONNeuronMatchesWriter)
+from ..dataio import (DataSourceParam, JSONCDMIPsReader,
+                      JSONCDSSessionWriter)
 from ..mips import MIPsCache
 from ..model import (CDMatchEntity, CDSSessionEntity, ComputeFileType,
                      ProcessingType)

@@ -14,7 +14,7 @@ import argparse
 import logging
 import os
 import re
-from typing import List, Optional
+from typing import Optional
 
 from ..dataio import JSONCDMIPsWriter
 from ..model import (ComputeFileType, EMNeuronEntity, FileData, Gender,

@@ -11,16 +11,15 @@ from __future__ import annotations
 import argparse
 import logging
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from ..cds.shape_kernel import finish_shape_scores, shape_score_kernel
 from ..cds.shape_oracle import (build_query_shape_planes,
                                 build_target_shape_planes)
-from ..dataio import (DataSourceParam, JSONNeuronMatchesReader,
-                      JSONNeuronMatchesWriter, ScoresFilter)
-from ..mips import MIPsCache, load_image_from_filedata
+from ..dataio import DataSourceParam, ScoresFilter
+from ..mips import MIPsCache
 from ..model import CDMatchEntity, ComputeFileType, ProcessingType
 from ..results import (group_matches_by_mask, normalize_match_scores,
                        partition_collection, select_best_matches)

@@ -11,8 +11,7 @@ from __future__ import annotations
 import argparse
 import logging
 
-from ..dataio import (DataSourceParam, JSONNeuronMatchesReader,
-                      JSONNeuronMatchesWriter, ScoresFilter)
+from ..dataio import DataSourceParam, ScoresFilter
 from ..model import ProcessingType
 from ..results import normalize_match_scores
 from .args import add_common_args

@@ -20,13 +20,11 @@ from __future__ import annotations
 import copy
 import json
 import os
-from pathlib import Path
 from typing import Callable, Dict, List, Optional, Set
 
 from ..model.entities import (CDMatchEntity, CDSSessionEntity, NeuronEntity,
                               entity_from_dict)
 from ..model.enums import ComputeFileType, ProcessingType
-from ..model.filedata import FileData
 from .base import (CDMIPsReader, CDMIPsWriter, DataSourceParam,
                    NeuronMatchesReader, NeuronMatchesWriter, ScoresFilter,
                    SortCriteria)

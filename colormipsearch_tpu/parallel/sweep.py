@@ -13,12 +13,11 @@ axis — replacing the reference's driver-side collect()
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cds.pixel_kernel import pixel_match_packed
 

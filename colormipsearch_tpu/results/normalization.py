@@ -10,7 +10,7 @@ float semantics in cds/GradientAreaGapUtils.java:219-235).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
