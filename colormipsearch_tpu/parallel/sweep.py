@@ -58,3 +58,40 @@ def sharded_pixel_sweep(mesh: Mesh, q_words, t_padded, t_flipped, shifts,
         check_vma=False,
     )
     return jax.jit(fn)(q_words, t_padded, t_flipped, shifts)
+
+
+def sharded_shape_scores(mesh: Mesh, q_nonzero, q_slice, q_mask, high_expr,
+                         grad, z_nonzero, z_slice, t_above, mirror: bool):
+    """Shape-score re-ranking sharded over the "target" mesh axis.
+
+    Query planes are replicated; target planes [T, H, W] are
+    target-sharded. Returns per-target (gaps, high, score, mirrored)
+    plus the cross-chip minimum combined score per mask (a pmin over
+    the target axis — the collective the per-mask best-match selection
+    rides when a mask's matches span chips)."""
+    from ..cds.shape_kernel import shape_score_kernel
+
+    def block(qnz, qsl, qm, he, g, znz, zsl, ta):
+        gaps_id, high_id, gaps_m, high_m = shape_score_kernel(
+            qnz, qsl, qm, he, g, znz, zsl, ta, mirror=mirror)
+        # finish per-target sums on device (int32 row sums -> totals)
+        def tot(x):
+            return x.sum(axis=1)
+        score_id = tot(gaps_id) + tot(high_id) // 3
+        score_m = tot(gaps_m) + tot(high_m) // 3
+        use_m = mirror & (score_m < score_id)
+        score = jnp.where(use_m, score_m, score_id)
+        best_local = score.min()
+        best_global = jax.lax.pmin(best_local, axis_name="target")
+        return score, use_m, best_global[None]
+
+    fn = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(), P(),
+                  P("target", None, None), P("target", None, None),
+                  P("target", None, None), P("target", None, None)),
+        out_specs=(P("target"), P("target"), P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q_nonzero, q_slice, q_mask, high_expr,
+                       grad, z_nonzero, z_slice, t_above)
