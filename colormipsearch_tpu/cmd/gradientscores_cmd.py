@@ -173,6 +173,11 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     # .active_row_range), typically a ~2x compute cut. NB the mirror
     # pass only flips columns, so row cropping is mirror-safe.
     r0, r1 = qplanes.active_row_range()
+    # pad the batch to the fixed batch size so the jitted kernel sees one
+    # static T shape (the last partial batch would otherwise recompile)
+    n_real = len(tplanes)
+    while len(tplanes) < args.targetsPerBatch:
+        tplanes.append(tplanes[-1])
     grad = np.stack([t.grad[r0:r1] for t in tplanes])
     znz = np.stack([t.z_nonzero[r0:r1] for t in tplanes])
     zsl = np.stack([t.z_slice[r0:r1] for t in tplanes])
@@ -183,6 +188,7 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
                              qplanes.high_expr[r0:r1],
                              grad, znz, zsl, tab, mirror=args.mirrorMask)
     gaps, high, score, use_m = finish_shape_scores(*out, mirror=args.mirrorMask)
+    gaps, high = gaps[:n_real], high[:n_real]
     for i, m in enumerate(scored_matches):
         m.gradient_area_gap = int(gaps[i])
         m.high_expression_area = int(high[i])
