@@ -138,20 +138,27 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
     tsz, h, w = t_words.shape
     bins = bin_plane_from_words(t_words)
     pad = max(xy_shift, 0)
-    # presence[t, τ, k]: any bin-k pixel in the expanded tile
-    # == tile-any of the (2*pad+1)-box-dilated bin mask
-    presences = []
-    for k in range(N_BINS):
-        mask = (bins == k)
-        if pad:
-            mask = jax.lax.reduce_window(
-                mask, False, jax.lax.bitwise_or,
-                (1, 2 * pad + 1, 2 * pad + 1), (1, 1, 1), "same")
-        padded = jnp.zeros((tsz, gh * TILE_H, gw * TILE_W), bool)
-        padded = padded.at[:, :h, :w].set(mask)
-        tile_any = padded.reshape(tsz, gh, TILE_H, gw, TILE_W).any(axis=(2, 4))
-        presences.append(tile_any.reshape(tsz, gh * gw))
-    presence = jnp.stack(presences, axis=-1).astype(jnp.float32)  # [T, nt, K]
+    # bin presence as TWO int32 bitmask planes (bins 0..29 / 30..59):
+    # one OR-reduction over the expanded tile replaces 60 boolean passes
+    valid = bins >= 0
+    lo_bit = jnp.where(valid & (bins < 30), jnp.int32(1) << jnp.where(
+        bins < 30, jnp.maximum(bins, 0), 0), 0)
+    hi_bit = jnp.where(valid & (bins >= 30), jnp.int32(1) << jnp.where(
+        bins >= 30, bins - 30, 0), 0)
+    words2 = jnp.stack([lo_bit, hi_bit], axis=1)  # [T, 2, H, W]
+    if pad:
+        words2 = jax.lax.reduce_window(
+            words2, 0, jax.lax.bitwise_or,
+            (1, 1, 2 * pad + 1, 2 * pad + 1), (1, 1, 1, 1), "same")
+    padded = jnp.zeros((tsz, 2, gh * TILE_H, gw * TILE_W), jnp.int32)
+    padded = padded.at[:, :, :h, :w].set(words2)
+    tiles = padded.reshape(tsz, 2, gh, TILE_H, gw, TILE_W)
+    tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or, (3, 5))
+    tile_or = tile_or.reshape(tsz, 2, gh * gw)  # [T, 2, nt]
+    k_ids = jnp.arange(30, dtype=jnp.int32)
+    pres_lo = ((tile_or[:, 0, :, None] >> k_ids) & 1)  # [T, nt, 30]
+    pres_hi = ((tile_or[:, 1, :, None] >> k_ids) & 1)
+    presence = jnp.concatenate([pres_lo, pres_hi], axis=-1).astype(jnp.float32)
     compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
     w01 = (presence @ compat.T) > 0                               # [T, nt, J]
     return w01.astype(jnp.float32).reshape(tsz, -1)
