@@ -18,7 +18,7 @@ import logging
 import os
 from typing import Dict, List
 
-from ..dataio import DataSourceParam, JSONNeuronMatchesReader
+from ..dataio import DataSourceParam
 from ..model import CDMatchEntity, NeuronEntity
 from .args import add_common_args
 
@@ -35,6 +35,8 @@ def add_parser(subparsers) -> None:
                    choices=EXPORT_TYPES)
     p.add_argument("-md", "--matchesDir", default=None,
                    help="per-mask matches dir (CD/PPP matches export)")
+    p.add_argument("--db", default=None,
+                   help="read matches from this SQLite store")
     p.add_argument("--mips-file", default=None, help="MIP JSON (MIPs export)")
     p.add_argument("--relative-urls-to", default=None)
     p.add_argument("--size", type=int, default=-1,
@@ -98,7 +100,8 @@ def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
 
 
 def _export_cd_matches(args, by_target: bool) -> int:
-    reader = JSONNeuronMatchesReader(args.matchesDir)
+    from .backends import matches_reader
+    reader = matches_reader(args.db, args.matchesDir)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
@@ -178,8 +181,8 @@ def _export_ppp_matches(args) -> int:
 def run(args: argparse.Namespace) -> int:
     t = args.exported_result_type
     if t in ("EM_CD_MATCHES", "LM_CD_MATCHES"):
-        if not args.matchesDir:
-            LOG.error("--matchesDir required for %s", t)
+        if not args.matchesDir and not args.db:
+            LOG.error("--matchesDir or --db required for %s", t)
             return 1
         return _export_cd_matches(args, by_target=(t == "LM_CD_MATCHES"))
     if t == "EM_PPP_MATCHES":
