@@ -171,6 +171,63 @@ def shift_ring_offsets(xyshift: int) -> list:
     return offsets
 
 
+def _second_first(sector, r, g, b):
+    """(numerator a, denominator b) of the sector ratio as int64; a==0
+    encodes the reference's zero-ratio sentinel."""
+    first = np.choose(np.clip(sector, 1, 6) - 1, [b, b, g, g, r, r])
+    second = np.choose(np.clip(sector, 1, 6) - 1, [r, g, b, r, g, b])
+    a = np.where((first != 0) & (second != 0), second, 0)
+    return a, np.maximum(first, 1)
+
+
+def match_exact_rational(s1, a1, b1, s2, a2, b2, zt9: int) -> np.ndarray:
+    """The framework's normative match predicate, over exact rationals
+    (int64 host arithmetic; identical to the device kernels).
+
+    Semantics match the reference's double evaluation everywhere except
+    exact rational ties (|r1 - r2| == zTol precisely, e.g. 50/100 vs
+    51/100 at zTol 0.01), where IEEE rounding makes Java's result depend
+    on the operands; this predicate deterministically counts ties as
+    matches (<=). No reference golden is affected (asserted in tests).
+    """
+    p = b1 * b2
+    diff = np.abs(a2 * b1 - a1 * b2)
+    same_ok = (s1 == s2) & (s1 > 0) & (a1 > 0) & (a2 > 0) \
+        & (diff * 1_000_000_000 <= zt9 * p)
+
+    up = s2 == s1 + 1
+    down = s1 == s2 + 1
+    adj = (up | down) & (np.minimum(s1, s2) > 0)
+    lo = np.where(up, s1, s2)
+    lt044 = a1 * 25 < 11 * b1
+    lt054 = a1 * 50 < 27 * b1
+    lt07_1 = a1 * 10 < 7 * b1
+    gt08_1 = a1 * 5 > 4 * b1
+    t_lt044 = a2 * 25 < 11 * b2
+    t_lt054 = a2 * 50 < 27 * b2
+    lt07_2 = a2 * 10 < 7 * b2
+    gt08_2 = a2 * 5 > 4 * b2
+    u = a1 * b2 + a2 * b1
+    adj_ok = np.zeros_like(adj)
+    for lo_s, k9 in zip((1, 2, 3, 4, 5),
+                        (BR_BG, BG_GB, GB_GR, GR_RG, RG_RB)):
+        k9i = round(k9 * 1e9)
+        pair = adj & (lo == lo_s)
+        if lo_s == 1:
+            cond = np.where(s1 == 1, lt044, lt054) \
+                & np.where(s2 == 1, t_lt044, t_lt054)
+        elif lo_s in (2, 4):
+            cond = gt08_1 & gt08_2
+        else:
+            cond = lt07_1 & lt07_2
+        if lo_s in (2, 4):
+            gap_ok = u * 1_000_000_000 >= max(2 * k9i - zt9, 0) * p
+        else:
+            gap_ok = u * 1_000_000_000 <= (2 * k9i + zt9) * p
+        adj_ok = adj_ok | (pair & cond & gap_ok)
+    return same_ok | adj_ok
+
+
 @dataclass
 class _QueryData:
     xs: np.ndarray          # mask-selected x coords
@@ -193,11 +250,17 @@ class PixelMatchOracle:
                  excluded_regions: Optional[np.ndarray] = None,
                  neg_query: Optional[Image] = None,
                  neg_query_threshold: int = 0,
-                 mirror_neg_query: bool = False):
+                 mirror_neg_query: bool = False,
+                 java_double_semantics: bool = False):
         self.query = query
         self.mirror_query = mirror_query
         self.target_threshold = target_threshold
         self.z_tolerance = z_tolerance
+        self.zt9 = round(z_tolerance * 1_000_000_000)
+        # java_double_semantics replays the reference's IEEE-double gap
+        # comparison exactly; the default exact-rational predicate agrees
+        # except at exact rational ties (see match_exact_rational)
+        self.java_double_semantics = java_double_semantics
         self.shifts = shift_ring_offsets(xy_shift)
         self.excluded = excluded_regions
 
@@ -245,8 +308,15 @@ class PixelMatchOracle:
             above = (r2 > self.target_threshold) | (g2 > self.target_threshold) \
                 | (b2 > self.target_threshold)
             s2, q2 = sector_and_ratio(r2, g2, b2)
-            gap = _gap_from_sectors(q.sector, q.ratio, s2, q2)
-            matches = valid & above & (gap <= self.z_tolerance)
+            if self.java_double_semantics:
+                gap = _gap_from_sectors(q.sector, q.ratio, s2, q2)
+                ok = gap <= self.z_tolerance
+            else:
+                a1, b1 = _second_first(q.sector, *q.rgb)
+                a2, b2d = _second_first(s2, r2, g2, b2)
+                ok = match_exact_rational(q.sector, a1, b1, s2, a2, b2d,
+                                          self.zt9)
+            matches = valid & above & ok
             score = int(matches.sum())
             if score > best:
                 best = score
