@@ -164,16 +164,15 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
     return w01.astype(jnp.float32).reshape(tsz, -1)
 
 
-@jax.jit
-def screen_bounds(u_feats, w_feats_dir, w_feats_mir):
-    """[B, T] upper bounds: max of direct and mirror feature products."""
-    bd = u_feats @ w_feats_dir.T
-    bm = u_feats @ w_feats_mir.T
-    return jnp.maximum(bd, bm)
-
-
 class PairPrescreen:
-    """Block-level screen: survivors(mask, targets) -> boolean [T]."""
+    """Block-level screen: survivors(mask, targets) -> boolean [T].
+
+    Target features are computed on device (the dilations/reductions are
+    image-sized) and pulled to host once per target block; the bound
+    matmul itself is small (B x F x T with F ~ 43K) and runs in host
+    NumPy — at current block sizes a device dispatch would cost more
+    than the product.
+    """
 
     def __init__(self, zt9: int, xy_shift: int, height: int, width: int):
         self.zt9 = zt9
@@ -186,11 +185,11 @@ class PairPrescreen:
         wd = target_features(t_words, self.zt9, self.xy_shift, self.grid_hw)
         wm = target_features(t_words_flipped, self.zt9, self.xy_shift,
                              self.grid_hw)
-        return wd, wm
+        return np.asarray(wd), np.asarray(wm)
 
     def query_features(self, words: np.ndarray) -> np.ndarray:
         return query_features(words)
 
     def bounds(self, u_block: np.ndarray, tfeats) -> np.ndarray:
         wd, wm = tfeats
-        return np.asarray(screen_bounds(jnp.asarray(u_block), wd, wm))
+        return np.maximum(u_block @ wd.T, u_block @ wm.T)
