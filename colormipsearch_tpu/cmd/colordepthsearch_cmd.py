@@ -184,14 +184,16 @@ def run(args: argparse.Namespace) -> int:
 
     use_screen = (engine_kind == "pallas" and args.prescreen == "on")
     screen = None
-    screen_u = {}
+    screen_u_matrix = None
     if use_screen and prepared:
         from ..cds.prescreen import PairPrescreen
         first_eng = prepared[0][1]
         screen = PairPrescreen(zt9, args.xyShift,
                                first_eng.tiles.height, first_eng.tiles.width)
-        for mask, eng in prepared:
-            screen_u[id(eng)] = screen.query_features(eng.planes.words)
+        # one [B, F] feature matrix: bounds for ALL masks of a partition
+        # are a single host matmul
+        screen_u_matrix = np.stack([
+            screen.query_features(eng.planes.words) for _, eng in prepared])
 
     def score_blocks(t_stack):
         """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
@@ -200,19 +202,21 @@ def run(args: argparse.Namespace) -> int:
             t0 = time.perf_counter()
             words = prepared[0][1].pack_raw_words(t_stack)
             packed = prepared[0][1].pad_from_words(words)
-            tfeats = None
+            bounds_all = None
             if screen is not None:
+                # bounds for ALL masks of this partition: one host matmul
                 tfeats = screen.target_features(words, words[:, :, ::-1])
+                bounds_all = screen.bounds(screen_u_matrix, tfeats)
             jax.block_until_ready(packed)
             stage_totals["pack"] += time.perf_counter() - t0
-            for mask, eng in prepared:
+            for bi_m, (mask, eng) in enumerate(prepared):
                 t0 = time.perf_counter()
                 survivors = None
-                if screen is not None:
-                    bounds = screen.bounds(screen_u[id(eng)][None], tfeats)[0]
+                if bounds_all is not None:
                     thr = max(ratio_threshold * eng.tiles.query_size, 0.5)
-                    survivors = (bounds > thr).astype(np.int32)
-                    stage_totals["screened"] = stage_totals.get("screened", 0)                         + int((survivors == 0).sum())
+                    survivors = (bounds_all[bi_m] > thr).astype(np.int32)
+                    stage_totals["screened"] = stage_totals.get("screened", 0) \
+                        + int((survivors == 0).sum())
                 if survivors is not None and not survivors.any():
                     tsz = t_stack.shape[0]
                     z = np.zeros(tsz, dtype=np.int64)
