@@ -1,0 +1,73 @@
+"""Algorithm factories — the library-facing construction API.
+
+Counterpart of cds/ColorDepthSearchAlgorithmProviderFactory.java:30-127
+and the ColorMIPSearch facade (cds/ColorMIPSearch.java:12-47): one place
+that applies the reference's parameter conventions (zTolerance =
+pixColorFluctuation / 100, even xyShift validation, label-region
+exclusion) and picks the right engine for the platform.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..imageproc.io import Image
+from ..imageproc.regions import label_regions_mask, no_regions_mask
+
+
+def create_pixel_match_engine(query: Image,
+                              query_threshold: int = 100,
+                              mirror_mask: bool = False,
+                              data_threshold: int = 100,
+                              pix_color_fluctuation: float = 2.0,
+                              xy_shift: int = 0,
+                              use_label_regions: bool = True,
+                              excluded: Optional[np.ndarray] = None,
+                              engine: str = "auto"):
+    """Build a pixel-match engine with the reference's defaults
+    (cmd/AbstractColorDepthMatchArgs.java:18-43).
+
+    engine: "auto" (pallas on TPU, dense elsewhere), "dense", "pallas".
+    """
+    if xy_shift % 2:
+        raise ValueError("XY shift parameter must be an even number.")
+    if excluded is None and use_label_regions:
+        excluded = label_regions_mask(query.height, query.width)
+    if engine == "auto":
+        import jax
+        engine = ("pallas" if jax.devices()[0].platform.startswith("tpu")
+                  else "dense")
+    if engine == "pallas":
+        from .pixel_pallas import ActiveTilePixelEngine
+        return ActiveTilePixelEngine(query, query_threshold, mirror_mask,
+                                     data_threshold, pix_color_fluctuation,
+                                     xy_shift, excluded)
+    from .pixel_kernel import PixelMatchEngine
+    return PixelMatchEngine(query, query_threshold, mirror_mask,
+                            data_threshold, pix_color_fluctuation,
+                            xy_shift, excluded)
+
+
+def create_shape_match_scorer(query: Image,
+                              query_threshold: int = 20,
+                              mirror_mask: bool = True,
+                              use_label_regions: bool = True,
+                              excluded: Optional[np.ndarray] = None,
+                              roi_mask: Optional[Image] = None):
+    """Build query-side shape planes + a scoring closure
+    (createShapeMatchCDSAlgorithmProvider,
+    ColorDepthSearchAlgorithmProviderFactory.java:76-127)."""
+    from .shape_oracle import ShapeScoreOracle
+    if excluded is None and use_label_regions:
+        excluded = label_regions_mask(query.height, query.width)
+    return ShapeScoreOracle(query, query_threshold, mirror_mask,
+                            excluded, roi_mask)
+
+
+def is_match(matching_pixels: int, matching_pixels_ratio: float,
+             pct_positive_pixels: float = 0.0) -> bool:
+    """ColorMIPSearch.isMatch (cds/ColorMIPSearch.java:42-46)."""
+    return (matching_pixels > 0
+            and matching_pixels_ratio > pct_positive_pixels / 100.0)
