@@ -31,26 +31,27 @@ class ComputeFileType(enum.Enum):
 
 
 class FileType(enum.Enum):
-    # (name, optional PPP file suffix)
-    store = (None,)
-    CDM = (None,)
-    CDMThumbnail = (None,)
-    CDMInput = (None,)
-    CDMMatch = (None,)
-    CDMBest = ("_5_ch.png",)
-    CDMBestThumbnail = ("_5_ch.jpg",)
-    CDMSkel = ("_6_ch_skel.png",)
-    SignalMip = ("_1_raw.png",)
-    SignalMipMasked = ("_2_masked_raw.png",)
-    SignalMipMaskedSkel = ("_3_skel.png",)
-    Gal4Expression = (None,)
-    VisuallyLosslessStack = (None,)
-    AlignedBodySWC = (None,)
-    AlignedBodyOBJ = (None,)
-    CDSResults = (None,)
-    PPPMResults = (None,)
+    # (unique key, optional PPP file suffix) — keys must be distinct or
+    # enum members with equal values silently alias each other
+    store = ("store", None)
+    CDM = ("CDM", None)
+    CDMThumbnail = ("CDMThumbnail", None)
+    CDMInput = ("CDMInput", None)
+    CDMMatch = ("CDMMatch", None)
+    CDMBest = ("CDMBest", "_5_ch.png")
+    CDMBestThumbnail = ("CDMBestThumbnail", "_5_ch.jpg")
+    CDMSkel = ("CDMSkel", "_6_ch_skel.png")
+    SignalMip = ("SignalMip", "_1_raw.png")
+    SignalMipMasked = ("SignalMipMasked", "_2_masked_raw.png")
+    SignalMipMaskedSkel = ("SignalMipMaskedSkel", "_3_skel.png")
+    Gal4Expression = ("Gal4Expression", None)
+    VisuallyLosslessStack = ("VisuallyLosslessStack", None)
+    AlignedBodySWC = ("AlignedBodySWC", None)
+    AlignedBodyOBJ = ("AlignedBodyOBJ", None)
+    CDSResults = ("CDSResults", None)
+    PPPMResults = ("PPPMResults", None)
 
-    def __init__(self, suffix):
+    def __init__(self, _key, suffix):
         self.file_suffix = suffix
 
     @classmethod
