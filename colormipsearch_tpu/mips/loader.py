@@ -8,6 +8,7 @@ zip entry with a fallback archive scan) and cmd/CachedMIPsUtils.java:19-112
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import zipfile
@@ -53,19 +54,26 @@ def _load_from_zip(archive: str, entry: str) -> Optional[Image]:
 
 
 def load_image_from_filedata(fd: Optional[FileData]) -> Optional[Image]:
-    """loadImageFromFileData (NeuronMIPUtils.java:103-141)."""
+    """loadImageFromFileData (NeuronMIPUtils.java:103-141).
+
+    Decode failures return None instead of raising: one bad image must
+    never kill a run (the reference's per-pair error capture,
+    AbstractColorMIPSearchProcessor.java:80-83)."""
     if fd is None:
         return None
-    if fd.data_type == FileDataType.zipEntry:
-        if not os.path.exists(fd.file_name):
+    try:
+        if fd.data_type == FileDataType.zipEntry:
+            if not os.path.exists(fd.file_name):
+                return None
+            return _load_from_zip(fd.file_name, fd.entry_name)
+        path = fd.file_name
+        if os.path.isdir(path) or not os.path.exists(path):
             return None
-        return _load_from_zip(fd.file_name, fd.entry_name)
-    path = fd.file_name
-    if os.path.isdir(path):
+        return load_image(path)
+    except Exception as e:
+        logging.getLogger(__name__).warning("failed to decode %s: %s",
+                                            fd.name, e)
         return None
-    if not os.path.exists(path):
-        return None
-    return load_image(path)
 
 
 def load_compute_file(neuron: NeuronEntity,
