@@ -146,9 +146,9 @@ def build_target_shape_planes(target: Image, target_grad: Image,
         grad = target_grad.gray_i32()
     return TargetShapePlanes(
         t_above=(t_clear > query_threshold).any(axis=2),
-        grad=grad.astype(np.int32),
+        grad=grad.astype(np.uint16),    # gradient distances fit u16
         z_nonzero=z_nonzero,
-        z_slice=z_slice,
+        z_slice=z_slice.astype(np.uint16),  # NB slice numbers reach 256
     )
 
 

@@ -16,7 +16,7 @@ from typing import List
 import numpy as np
 
 from ..cds.shape_kernel import finish_shape_scores, shape_score_kernel
-from ..cds.shape_oracle import (build_query_shape_planes,
+from ..cds.shape_oracle import (TargetShapePlanes, build_query_shape_planes,
                                 build_target_shape_planes)
 from ..dataio import DataSourceParam, ScoresFilter
 from ..mips import MIPsCache
@@ -143,6 +143,15 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
             (zgap is not None or args.computeZGapOnTheFly):
         planes = build_target_shape_planes(
             cdm, grad, zgap, args.maskThreshold, excluded)
+        # keep the planes DEVICE-resident: each target uploads once and
+        # every (mask, batch) pairing afterwards stacks/crops on device
+        # (host<->device transfer dominates otherwise)
+        import jax.numpy as jnp
+        planes = TargetShapePlanes(
+            t_above=jnp.asarray(planes.t_above),
+            grad=jnp.asarray(planes.grad),
+            z_nonzero=jnp.asarray(planes.z_nonzero),
+            z_slice=jnp.asarray(planes.z_slice))
     if len(planes_cache) >= _PLANES_CACHE_MAX:
         planes_cache.clear()
     planes_cache[key] = planes
@@ -172,16 +181,18 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     # high-expression term is provably zero (QueryShapePlanes
     # .active_row_range), typically a ~2x compute cut. NB the mirror
     # pass only flips columns, so row cropping is mirror-safe.
+    import jax.numpy as jnp
     r0, r1 = qplanes.active_row_range()
     # pad the batch to the fixed batch size so the jitted kernel sees one
     # static T shape (the last partial batch would otherwise recompile)
     n_real = len(tplanes)
     while len(tplanes) < args.targetsPerBatch:
         tplanes.append(tplanes[-1])
-    grad = np.stack([t.grad[r0:r1] for t in tplanes])
-    znz = np.stack([t.z_nonzero[r0:r1] for t in tplanes])
-    zsl = np.stack([t.z_slice[r0:r1] for t in tplanes])
-    tab = np.stack([t.t_above[r0:r1] for t in tplanes])
+    # stack/crop on DEVICE: the cached planes already live in HBM
+    grad = jnp.stack([t.grad[r0:r1] for t in tplanes])
+    znz = jnp.stack([t.z_nonzero[r0:r1] for t in tplanes])
+    zsl = jnp.stack([t.z_slice[r0:r1] for t in tplanes])
+    tab = jnp.stack([t.t_above[r0:r1] for t in tplanes])
     out = shape_score_kernel(qplanes.q_nonzero[r0:r1],
                              qplanes.q_slice[r0:r1],
                              qplanes.q_mask[r0:r1],
