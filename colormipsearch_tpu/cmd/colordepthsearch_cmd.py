@@ -234,11 +234,17 @@ def run(args: argparse.Namespace) -> int:
             stage_totals["pack"] += time.perf_counter() - t0
             for mask_block in partition_collection(prepared, args.maskBatchSize):
                 t0 = time.perf_counter()
+                # pad the final partial block to the fixed batch size so
+                # the jitted kernel sees one static shape
+                n_real = len(mask_block)
+                padded_block = list(mask_block)
+                while len(padded_block) < args.maskBatchSize:
+                    padded_block.append(mask_block[-1])
                 q_words = jnp.asarray(
-                    np.stack([qp.words for _, qp in mask_block]))
+                    np.stack([qp.words for _, qp in padded_block]))
                 s, m = local_pixel_sweep(
                     q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
-                s, m = np.asarray(s), np.asarray(m)
+                s, m = np.asarray(s)[:n_real], np.asarray(m)[:n_real]
                 stage_totals["score"] += time.perf_counter() - t0
                 yield (s, m,
                        [(mask, qp.query_size) for mask, qp in mask_block])
