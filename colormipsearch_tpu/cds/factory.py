@@ -25,11 +25,16 @@ def create_pixel_match_engine(query: Image,
                               xy_shift: int = 0,
                               use_label_regions: bool = True,
                               excluded: Optional[np.ndarray] = None,
-                              engine: str = "auto"):
+                              engine: str = "auto",
+                              neg_query: Optional[Image] = None,
+                              neg_query_threshold: int = 0,
+                              mirror_neg_query: bool = False):
     """Build a pixel-match engine with the reference's defaults
     (cmd/AbstractColorDepthMatchArgs.java:18-43).
 
     engine: "auto" (pallas on TPU, dense elsewhere), "dense", "pallas".
+    A negative query composes two engines with the reference's score
+    subtraction (PixelMatchColorDepthSearchAlgorithm.java:195-217).
     """
     if xy_shift % 2:
         raise ValueError("XY shift parameter must be an even number.")
@@ -39,15 +44,51 @@ def create_pixel_match_engine(query: Image,
         import jax
         engine = ("pallas" if jax.devices()[0].platform.startswith("tpu")
                   else "dense")
-    if engine == "pallas":
-        from .pixel_pallas import ActiveTilePixelEngine
-        return ActiveTilePixelEngine(query, query_threshold, mirror_mask,
-                                     data_threshold, pix_color_fluctuation,
-                                     xy_shift, excluded)
-    from .pixel_kernel import PixelMatchEngine
-    return PixelMatchEngine(query, query_threshold, mirror_mask,
-                            data_threshold, pix_color_fluctuation,
-                            xy_shift, excluded)
+
+    def build(img, thr, mirror):
+        if engine == "pallas":
+            from .pixel_pallas import ActiveTilePixelEngine
+            return ActiveTilePixelEngine(img, thr, mirror, data_threshold,
+                                         pix_color_fluctuation, xy_shift,
+                                         excluded)
+        from .pixel_kernel import PixelMatchEngine
+        return PixelMatchEngine(img, thr, mirror, data_threshold,
+                                pix_color_fluctuation, xy_shift, excluded)
+
+    pos = build(query, query_threshold, mirror_mask)
+    if neg_query is None:
+        return pos
+    neg = build(neg_query, neg_query_threshold, mirror_neg_query)
+    return NegQueryPixelMatchEngine(pos, neg)
+
+
+class NegQueryPixelMatchEngine:
+    """Positive/negative engine pair with the reference's subtraction
+    (PixelMatchColorDepthSearchAlgorithm.java:195-217):
+    pixels -= round(negPixels * querySize / negQuerySize),
+    ratio  -= negPixels / negQuerySize."""
+
+    def __init__(self, pos, neg):
+        self.pos = pos
+        self.neg = neg
+
+    @property
+    def query_size(self) -> int:
+        return getattr(self.pos, "planes", getattr(self.pos, "tiles", None)).query_size
+
+    def score_batch(self, targets_u8: np.ndarray):
+        pixels, ratios, mirrored = self.pos.score_batch(targets_u8)
+        neg_pixels, _, _ = self.neg.score_batch(targets_u8)
+        neg_size = getattr(self.neg, "planes",
+                           getattr(self.neg, "tiles", None)).query_size
+        if neg_size <= 0:
+            return pixels, ratios, mirrored
+        qsize = self.query_size
+        adj = np.asarray([
+            int(round(float(p) - float(n) * qsize / float(neg_size)))
+            for p, n in zip(pixels, neg_pixels)])
+        ratios = ratios - neg_pixels.astype(np.float64) / float(neg_size)
+        return adj, ratios, mirrored
 
 
 def create_shape_match_scorer(query: Image,
