@@ -5,18 +5,23 @@ tiles). The dense XLA kernel (pixel_kernel.py) pays for every pixel; this
 kernel touches only the mask's ACTIVE tiles:
 
 - Host gathers the query's active 8x128 tiles into a [K, 8, 128] stack
-  and a [K, 2] window-origin table in the padded target frame (the
-  mirror pass reads the x-flipped frame at the same origins).
-- The kernel runs on a (T, K) grid. Query tiles stream through VMEM via
-  the standard BlockSpec pipeline; the two target windows per step
-  ([8+2s, 128+2s] around the tile, direct + mirrored frame) are fetched
-  with explicit double-buffered async DMA from HBM using the
-  scalar-prefetched coordinates — each target word is read once per
-  active tile instead of once per pixel variant.
-- Per step the packed words are unpacked once, then all (1+8*s/2)*2
-  shift/mirror variants are scored as static slices of the window and
-  accumulated into a [T, NV] partial-score output revisited across the
-  K grid axis (matmul-reduction pattern).
+  (K padded to a fixed bucket so every mask shares one compiled kernel)
+  and a [K, 3] table of window origins + the active-tile count.
+- The kernel runs a (T/tb, K) grid; each step serves a block of tb
+  targets. Query tiles stream through VMEM via the BlockSpec pipeline;
+  the two target windows per step (tile-aligned 3x3 super-tile slabs
+  [tb, 24, 384] from the direct and x-flipped frames — Mosaic slices
+  HBM only at (8, 128)-tile granularity) arrive by double-buffered
+  async DMA at scalar-prefetched origins, so each target word is read
+  once per active tile instead of once per pixel variant.
+- Per target, all (1+8*s/2)*2 shift/mirror variants are static slices
+  of the window: one packed (8,128) VMEM load each, unpacked in
+  registers, scored, and accumulated into per-variant lane-sum
+  sublanes of a [tb, 32, 128] accumulator (finished on host).
+- Three skip levels: padding tiles beyond the real count skip DMA and
+  compute; windows with no above-threshold target pixel skip the
+  variant sweep; targets zeroed in the scalar-prefetched survivor
+  bitmap (the MXU prescreen's output) skip entirely.
 
 Exactness is identical to the dense kernel: the same branchless int32
 hue-gap predicate (see pixel_kernel.py / exact_ratio.py), validated
