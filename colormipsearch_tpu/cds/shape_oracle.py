@@ -171,6 +171,23 @@ def _high_expr_sum(q: QueryShapePlanes, t_above: np.ndarray) -> int:
     return int((q.high_expr.astype(bool) & t_above).sum())
 
 
+def build_mirrored_query_shape_planes(query: Image,
+                                      excluded: Optional[np.ndarray],
+                                      roi_mask: Optional[Image]
+                                      ) -> QueryShapePlanes:
+    """Query planes for the mirrored orientation when an ROI mask is in
+    play. The reference mirrors the query but NOT the ROI
+    (Shape2DMatchColorDepthSearchAlgorithm.java:201-218 applies
+    maskTransformation only to the query-side images), so the
+    flip-equivalence in the module docstring no longer holds; instead
+    build planes from the x-flipped query (circular dilation commutes
+    with mirroring) with the un-flipped ROI."""
+    flipped = Image(query.kind, np.ascontiguousarray(query.pixels[:, ::-1]))
+    flipped_excluded = (np.ascontiguousarray(excluded[:, ::-1])
+                        if excluded is not None else None)
+    return build_query_shape_planes(flipped, flipped_excluded, roi_mask)
+
+
 class ShapeScoreOracle:
     """Reference-exact shape scorer for one query (mask)."""
 
@@ -182,6 +199,10 @@ class ShapeScoreOracle:
         self.mirror_query = mirror_query
         self.excluded = excluded
         self.planes = build_query_shape_planes(query, excluded, roi_mask)
+        # with an ROI the mirrored orientation needs its own plane set
+        self.mirror_planes = (
+            build_mirrored_query_shape_planes(query, excluded, roi_mask)
+            if (mirror_query and roi_mask is not None) else None)
 
     def score(self, target: Image, target_grad: Image,
               target_zgap: Optional[Image] = None) -> ShapeMatchScore:
@@ -192,10 +213,18 @@ class ShapeScoreOracle:
         high = _high_expr_sum(q, t.t_above)
         best = ShapeMatchScore(gaps, high, mirrored=False)
         if self.mirror_query:
-            # mirrored pass == flip grad (gaps) / flip target (high-expr);
-            # see module docstring for the equivalence proof
-            m_gaps = _gap_sum(q, t.grad[:, ::-1], t.z_nonzero, t.z_slice)
-            m_high = _high_expr_sum(q, t.t_above[:, ::-1])
+            if self.mirror_planes is not None:
+                # exact ROI semantics: mirrored-query planes against
+                # flipped z planes, un-flipped grad and target
+                qm = self.mirror_planes
+                m_gaps = _gap_sum(qm, t.grad, t.z_nonzero[:, ::-1],
+                                  t.z_slice[:, ::-1])
+                m_high = _high_expr_sum(qm, t.t_above)
+            else:
+                # mirrored pass == flip grad (gaps) / flip target
+                # (high-expr); see module docstring for the proof
+                m_gaps = _gap_sum(q, t.grad[:, ::-1], t.z_nonzero, t.z_slice)
+                m_high = _high_expr_sum(q, t.t_above[:, ::-1])
             m = ShapeMatchScore(m_gaps, m_high, mirrored=True)
             if m.score < best.score:
                 best = m

@@ -98,10 +98,24 @@ def run(args: argparse.Namespace) -> int:
                 continue
             excluded = excluded_regions_for(args, mask_img.height,
                                             mask_img.width)
-            qplanes = build_query_shape_planes(mask_img, excluded)
+            roi_mask = None
+            if args.queryROIMaskName:
+                # optional ROI mask restricting the scored region
+                # (loadQueryROIMask, CalculateGradientScoresCmd.java:300-302;
+                # applied in Shape2DMatch...java:201-218)
+                from ..imageproc import load_image
+                roi_mask = load_image(args.queryROIMaskName)
+            qplanes = build_query_shape_planes(mask_img, excluded, roi_mask)
+            qplanes_m = None
+            if roi_mask is not None and args.mirrorMask:
+                # the reference mirrors the query but NOT the ROI, so the
+                # mirrored orientation needs its own plane set
+                from ..cds.shape_oracle import build_mirrored_query_shape_planes
+                qplanes_m = build_mirrored_query_shape_planes(
+                    mask_img, excluded, roi_mask)
             for part in partition_collection(mask_matches, args.targetsPerBatch):
                 scored = _score_batch(part, qplanes, cache, args, excluded,
-                                      planes_cache)
+                                      planes_cache, qplanes_m)
                 scored_for_mask.extend(scored)
         # normalization runs over the selected+scored matches only
         # (CalculateGradientScoresCmd.java:213-247: normalizeScores over
@@ -159,8 +173,9 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
 
 
 def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
-                 planes_cache: dict):
-    """Batched shape scoring for one mask's matches."""
+                 planes_cache: dict, qplanes_m=None):
+    """Batched shape scoring for one mask's matches. qplanes_m carries
+    the mirrored-orientation plane set for the ROI-mask case."""
     tplanes = []
     scored_matches = []
     for m in part:
@@ -183,6 +198,10 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     # pass only flips columns, so row cropping is mirror-safe.
     import jax.numpy as jnp
     r0, r1 = qplanes.active_row_range()
+    if qplanes_m is not None:
+        # crop must cover the active rows of BOTH orientations
+        m0, m1 = qplanes_m.active_row_range()
+        r0, r1 = min(r0, m0), max(r1, m1)
     # pad the batch to the fixed batch size so the jitted kernel sees one
     # static T shape (the last partial batch would otherwise recompile)
     n_real = len(tplanes)
@@ -193,13 +212,32 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     znz = jnp.stack([t.z_nonzero[r0:r1] for t in tplanes])
     zsl = jnp.stack([t.z_slice[r0:r1] for t in tplanes])
     tab = jnp.stack([t.t_above[r0:r1] for t in tplanes])
-    out = shape_score_kernel(qplanes.q_nonzero[r0:r1],
-                             qplanes.q_slice[r0:r1],
-                             qplanes.q_mask[r0:r1],
-                             qplanes.high_expr[r0:r1],
-                             grad, znz, zsl, tab, mirror=args.mirrorMask)
-    gaps, high, score, use_m = finish_shape_scores(*out, mirror=args.mirrorMask)
+    if qplanes_m is None:
+        out = shape_score_kernel(qplanes.q_nonzero[r0:r1],
+                                 qplanes.q_slice[r0:r1],
+                                 qplanes.q_mask[r0:r1],
+                                 qplanes.high_expr[r0:r1],
+                                 grad, znz, zsl, tab, mirror=args.mirrorMask)
+        gaps, high, score, use_m = finish_shape_scores(
+            *out, mirror=args.mirrorMask)
+    else:
+        # exact ROI semantics: two identity-orientation passes, the
+        # second with mirrored-query planes and flipped z planes
+        def one_pass(qp_, g_, znz_, zsl_, tab_):
+            out = shape_score_kernel(qp_.q_nonzero[r0:r1],
+                                     qp_.q_slice[r0:r1],
+                                     qp_.q_mask[r0:r1],
+                                     qp_.high_expr[r0:r1],
+                                     g_, znz_, zsl_, tab_, mirror=False)
+            return finish_shape_scores(*out, mirror=False)
+        g_i, h_i, s_i, _ = one_pass(qplanes, grad, znz, zsl, tab)
+        g_m, h_m, s_m, _ = one_pass(qplanes_m, grad, znz[:, :, ::-1],
+                                    zsl[:, :, ::-1], tab)
+        use_m = s_m < s_i
+        gaps = np.where(use_m, g_m, g_i)
+        high = np.where(use_m, h_m, h_i)
     gaps, high = gaps[:n_real], high[:n_real]
+    use_m = np.asarray(use_m)[:n_real]
     for i, m in enumerate(scored_matches):
         m.gradient_area_gap = int(gaps[i])
         m.high_expression_area = int(high[i])
