@@ -30,6 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+    if os.environ.get("CMS_PLATFORM"):
+        # explicit platform pin (NB the axon TPU plugin overrides the
+        # JAX_PLATFORMS env var, so the config API is the only reliable way)
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["CMS_PLATFORM"])
+        except Exception:
+            pass
     parser = build_parser()
     args = parser.parse_args(argv)
     logging.basicConfig(
