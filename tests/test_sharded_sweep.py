@@ -71,3 +71,26 @@ def test_sharded_goldens(fixtures_dir):
     assert list(scores[0]) == [439, 414, 439, 414]
     assert list(scores[1]) == [439, 414, 439, 414]
     assert np.asarray(per_mask_max).tolist() == [439, 439]
+
+
+def test_mesh_edge_shapes(fixtures_dir):
+    """Degenerate mesh shapes (pure-target and pure-mask partitions)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    h, w = 40, 96
+    qs = []
+    for _ in range(8):
+        q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        q[rng.random((h, w)) < 0.6] = 0
+        qs.append(prepare_query_planes(image_from_array(q), 20).words)
+    q_words = jnp.asarray(np.stack(qs))
+    t = rng.integers(0, 256, size=(8, h, w, 3)).astype(np.uint8)
+    t[rng.random((8, h, w)) < 0.5] = 0
+    zt9 = z_tolerance_to_zt9(1.0)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), dtype=np.int32))
+    tp, tf = pack_targets(jnp.asarray(t), 20, 2)
+    ref, _ = local_pixel_sweep(q_words, tp, tf, shifts, zt9, True)
+    for shape in ((1, 8), (8, 1), (4, 2)):
+        mesh = make_pair_mesh(shape=shape)
+        s, _, _ = sharded_pixel_sweep(mesh, q_words, tp, tf, shifts, zt9, True)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
