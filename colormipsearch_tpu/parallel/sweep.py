@@ -60,6 +60,56 @@ def sharded_pixel_sweep(mesh: Mesh, q_words, t_padded, t_flipped, shifts,
     return jax.jit(fn)(q_words, t_padded, t_flipped, shifts)
 
 
+def sharded_pixel_sweep_topk(mesh: Mesh, q_words, t_padded, t_flipped,
+                             shifts, zt9: int, mirror: bool, k: int):
+    """Pair sweep returning per-mask top-k survivors instead of the full
+    score grid: each device keeps its local top-k (lax.top_k over its
+    target shard), so only B x k x devices scores leave the device —
+    the host merge finishes the global top-k. This is the device-side
+    reduction the reference approximates with driver-side collect +
+    sort (SparkColorMIPSearchProcessor.java:73,
+    ItemsHandling.selectTopRankedElements).
+
+    Returns (top_scores [B, P, k], top_target_idx [B, P, k], mirrored
+    [B, P, k]) with P = number of target shards; global indices refer to
+    the full target axis. Use merge_topk to finish on host.
+    """
+    t_shards = mesh.devices.shape[1]
+    t_local = t_padded.shape[0] // t_shards
+
+    def block(q_blk, t_blk, tf_blk, shifts_blk):
+        scores, mirrored = pixel_match_packed(
+            q_blk, t_blk, tf_blk, shifts_blk, zt9=zt9, mirror=mirror)
+        kk = min(k, scores.shape[1])
+        top, idx = jax.lax.top_k(scores, kk)
+        shard = jax.lax.axis_index("target")
+        gidx = idx + shard * t_local
+        mtop = jnp.take_along_axis(mirrored, idx, axis=1)
+        return top[:, None, :], gidx[:, None, :], mtop[:, None, :]
+
+    fn = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P("mask", None, None), P("target", None, None),
+                  P("target", None, None), P(None, None)),
+        out_specs=(P("mask", "target", None), P("mask", "target", None),
+                   P("mask", "target", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(q_words, t_padded, t_flipped, shifts)
+
+
+def merge_topk(top_scores, top_idx, top_mirrored, k: int):
+    """Host-side merge of per-shard top-k into the global per-mask top-k.
+    Returns (scores [B, k], target_idx [B, k], mirrored [B, k])."""
+    import numpy as np
+    s = np.asarray(top_scores).reshape(top_scores.shape[0], -1)
+    i = np.asarray(top_idx).reshape(s.shape)
+    m = np.asarray(top_mirrored).reshape(s.shape)
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    take = np.take_along_axis
+    return take(s, order, 1), take(i, order, 1), take(m, order, 1)
+
+
 def sharded_shape_scores(mesh: Mesh, q_nonzero, q_slice, q_mask, high_expr,
                          grad, z_nonzero, z_slice, t_above, mirror: bool):
     """Shape-score re-ranking sharded over the "target" mesh axis.

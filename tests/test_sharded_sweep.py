@@ -14,6 +14,8 @@ from colormipsearch_tpu.cds.pixel_kernel import (
 from colormipsearch_tpu.cds.oracle import shift_ring_offsets
 from colormipsearch_tpu.parallel import (make_pair_mesh, local_pixel_sweep,
                                          sharded_pixel_sweep)
+from colormipsearch_tpu.parallel.sweep import (sharded_pixel_sweep_topk,
+                                               merge_topk)
 
 
 def test_sharded_equals_local(fixtures_dir):
@@ -71,6 +73,39 @@ def test_sharded_goldens(fixtures_dir):
     assert list(scores[0]) == [439, 414, 439, 414]
     assert list(scores[1]) == [439, 414, 439, 414]
     assert np.asarray(per_mask_max).tolist() == [439, 439]
+
+
+def test_topk_sweep_matches_full_sort(fixtures_dir):
+    """Device-side per-shard top-k + host merge == sort of full grid."""
+    rng = np.random.default_rng(11)
+    h, w = 48, 96
+    bsz, tsz, k = 4, 16, 5
+    qs = []
+    for _ in range(bsz):
+        q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        q[rng.random((h, w)) < 0.6] = 0
+        qs.append(prepare_query_planes(image_from_array(q), 20).words)
+    q_words = jnp.asarray(np.stack(qs))
+    t = rng.integers(0, 256, size=(tsz, h, w, 3)).astype(np.uint8)
+    t[rng.random((tsz, h, w)) < 0.5] = 0
+    zt9 = z_tolerance_to_zt9(1.0)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), dtype=np.int32))
+    tp, tf = pack_targets(jnp.asarray(t), 20, 2)
+
+    full, full_m = local_pixel_sweep(q_words, tp, tf, shifts, zt9, True)
+    full = np.asarray(full)
+
+    mesh = make_pair_mesh(shape=(2, 4))
+    ts_, ti_, tm_ = sharded_pixel_sweep_topk(
+        mesh, q_words, tp, tf, shifts, zt9, True, k)
+    s, i, m = merge_topk(ts_, ti_, tm_, k)
+
+    for b in range(bsz):
+        expect = np.sort(full[b])[::-1][:k]
+        np.testing.assert_array_equal(s[b], expect)
+        # indices actually point at those scores
+        np.testing.assert_array_equal(full[b][i[b]], s[b])
+        np.testing.assert_array_equal(np.asarray(full_m)[b][i[b]], m[b])
 
 
 def test_mesh_edge_shapes(fixtures_dir):
