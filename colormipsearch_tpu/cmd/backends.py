@@ -18,9 +18,12 @@ from ..dataio.db import (DBNeuronMatchesReader, DBNeuronMatchesWriter,
 _stores = {}
 
 
-def get_store(path: str) -> SqliteStore:
+def get_store(path: str):
+    """SQLite by path, Mongo by mongodb:// URI (db_mongo.open_store) —
+    both expose the same store surface, so readers/writers are agnostic."""
     if path not in _stores:
-        _stores[path] = SqliteStore(path)
+        from ..dataio.db_mongo import open_store
+        _stores[path] = open_store(path)
     return _stores[path]
 
 

@@ -1,0 +1,217 @@
+"""MongoDB persistence backend.
+
+Direct counterpart of the reference's Mongo DAO layer
+(colormipsearch-persist dao/mongo/NeuronMetadataMongoDao.java,
+AbstractNeuronMatchesMongoDao.java, dao/DaosProvider.java:23-97):
+`MongoStore` exposes the SAME store surface as `db.SqliteStore`, so the
+existing `DBCDMIPsReader` / `DBCDMIPsWriter` / `DBNeuronMatchesReader` /
+`DBNeuronMatchesWriter` adapters (db.py) work unchanged against either
+backend — pass `--db mongodb://host/dbname` instead of a SQLite path.
+
+Semantics preserved (matching the reference DAO):
+- neuron metadata keyed by entityId, indexed on mipId / libraryName /
+  publishedName (NeuronMetadataMongoDao.java:68-76)
+- match upserts keyed on (maskImageRefId, matchedImageRefId) via
+  replaceOne(upsert=true) (AbstractNeuronMatchesMongoDao.java:117+)
+- score-only field updates for re-runs (updateExistingMatches /
+  DBCDScoresOnlyWriter)
+- listMatchesLocations = distinct mask mip ids having matches
+  (DBNeuronMatchesReader.java:42-64)
+
+pymongo is imported on first use (it is not part of the baked image);
+constructing a MongoStore without it raises a clear error. The store is
+tested against an in-process fake implementing the narrow pymongo
+subset used here (tests/test_db_mongo.py), and a `client` can be
+injected directly for that purpose.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from ..model.entities import CDMatchEntity, NeuronEntity, entity_from_dict
+from ..persist.idgenerator import TimebasedIdGenerator
+from .base import DataSourceParam
+
+_MATCH_SCORE_FIELDS = {
+    "normalizedScore", "gradientAreaGap", "highExpressionArea",
+    "bidirectionalAreaGap", "matchingPixels", "matchingPixelsRatio",
+}
+
+
+def _connect(uri: str):
+    try:
+        import pymongo  # deferred: not in the baked image
+    except ImportError as e:  # pragma: no cover - env without pymongo
+        raise RuntimeError(
+            "MongoStore requires pymongo (not installed in this image); "
+            "use the SQLite backend (--db path.sqlite) or inject a client"
+        ) from e
+    return pymongo.MongoClient(uri)
+
+
+class MongoStore:
+    """Mongo-backed store with the SqliteStore surface (db.py).
+
+    `uri` is a mongodb:// connection string whose path component names
+    the database (defaults to "neuronbridge", the reference's database,
+    DaosProvider.java). A pre-built `client` (real or fake) can be
+    injected for tests.
+    """
+
+    def __init__(self, uri: str = "", client=None, database: str = ""):
+        if client is None:
+            client = _connect(uri)
+        self._client = client
+        dbname = database
+        if not dbname and uri:
+            tail = uri.rsplit("/", 1)[-1]
+            if tail and "://" not in tail and "@" not in tail:
+                dbname = tail.split("?")[0]
+        self._db = client[dbname or "neuronbridge"]
+        self.neurons = self._db["neuronMetadata"]
+        self.matches = self._db["cdMatches"]
+        self.id_generator = TimebasedIdGenerator()
+        for key in ("mipId", "libraryName", "publishedName"):
+            try:
+                self.neurons.create_index(key)
+            except Exception:
+                pass
+        for key in ("maskImageRefId", "matchedImageRefId"):
+            try:
+                self.matches.create_index(key)
+            except Exception:
+                pass
+
+    def close(self) -> None:
+        try:
+            self._client.close()
+        except Exception:
+            pass
+
+    # --- neuron metadata DAO ---
+
+    def upsert_neurons(self, entities: Sequence[NeuronEntity]) -> None:
+        for e in entities:
+            if e.entity_id is None:
+                e.entity_id = self.id_generator.generate_id()
+            doc = e.to_dict()
+            doc["_id"] = e.entity_id
+            self.neurons.replace_one({"_id": e.entity_id}, doc, upsert=True)
+
+    def find_neurons(self, param: DataSourceParam) -> List[NeuronEntity]:
+        query = {}
+        if param.alignment_space:
+            query["alignmentSpace"] = param.alignment_space
+        if param.libraries:
+            query["libraryName"] = {"$in": list(param.libraries)}
+        if param.mip_ids:
+            query["mipId"] = {"$in": list(param.mip_ids)}
+        if param.names:
+            query["publishedName"] = {"$in": list(param.names)}
+        docs = sorted(self.neurons.find(query), key=lambda d: d.get("_id", 0))
+        entities = []
+        for d in docs:
+            d = dict(d)
+            d.pop("_id", None)
+            entities.append(entity_from_dict(d))
+        entities = [e for e in entities if param.matches_entity(e)]
+        return param.apply_slice(entities)
+
+    def distinct_neuron_values(self, column: str) -> List[str]:
+        key = {"mip_id": "mipId", "library_name": "libraryName",
+               "published_name": "publishedName",
+               "alignment_space": "alignmentSpace"}.get(column)
+        if key is None:
+            raise ValueError(column)
+        return sorted(v for v in self.neurons.distinct(key) if v is not None)
+
+    # --- matches DAO ---
+
+    def upsert_matches(self, matches: Sequence[CDMatchEntity]) -> int:
+        n = 0
+        for m in matches:
+            mask_ref = m.mask_ref()
+            matched_ref = m.matched_ref()
+            if mask_ref is None or matched_ref is None:
+                continue
+            key = {"maskImageRefId": mask_ref, "matchedImageRefId": matched_ref}
+            existing = next(iter(self.matches.find(key)), None)
+            if existing is not None:
+                m.entity_id = existing["_id"]
+            elif m.entity_id is None:
+                m.entity_id = self.id_generator.generate_id()
+            doc = m.to_dict()
+            doc["_id"] = m.entity_id
+            doc["maskImageRefId"] = mask_ref
+            doc["matchedImageRefId"] = matched_ref
+            self.matches.replace_one(key, doc, upsert=True)
+            n += 1
+        return n
+
+    def update_match_fields(self, matches: Sequence[CDMatchEntity],
+                            fields: Sequence[str]) -> int:
+        getter = {
+            "normalizedScore": lambda m: m.normalized_score,
+            "gradientAreaGap": lambda m: m.gradient_area_gap,
+            "highExpressionArea": lambda m: m.high_expression_area,
+            "bidirectionalAreaGap": lambda m: m.bidirectional_area_gap,
+            "matchingPixels": lambda m: m.matching_pixels,
+            "matchingPixelsRatio": lambda m: m.matching_pixels_ratio,
+        }
+        names = [f for f in fields if f in _MATCH_SCORE_FIELDS]
+        if not names:
+            return 0
+        n = 0
+        for m in matches:
+            if m.entity_id is None:
+                continue
+            update = {f: getter[f](m) for f in names}
+            self.matches.update_one({"_id": m.entity_id}, {"$set": update})
+            n += 1
+        return n
+
+    def find_matches_by_mask_refs(self, mask_refs: Sequence[int]
+                                  ) -> List[CDMatchEntity]:
+        docs = list(self.matches.find(
+            {"maskImageRefId": {"$in": list(mask_refs)}}))
+        docs.sort(key=lambda d: -(d.get("matchingPixels") or 0))
+        out = []
+        for d in docs:
+            d = dict(d)
+            d.pop("_id", None)
+            d.pop("maskImageRefId", None)
+            d.pop("matchedImageRefId", None)
+            out.append(CDMatchEntity.from_dict(d))
+        return out
+
+    def distinct_mask_mip_ids_with_matches(self) -> List[str]:
+        refs = set(self.matches.distinct("maskImageRefId"))
+        if not refs:
+            return []
+        mips = set()
+        for d in self.neurons.find({"_id": {"$in": sorted(refs)}}):
+            if d.get("mipId"):
+                mips.add(d["mipId"])
+        return sorted(mips)
+
+    def delete_matches(self, mask_refs: Optional[Sequence[int]] = None,
+                       max_pixels: Optional[int] = None) -> int:
+        query = {}
+        if mask_refs:
+            query["maskImageRefId"] = {"$in": list(mask_refs)}
+        if max_pixels is not None:
+            query["matchingPixels"] = {"$lt": max_pixels}
+        res = self.matches.delete_many(query)
+        return getattr(res, "deleted_count", 0)
+
+
+def open_store(db_arg: str):
+    """Open the right backend for a --db argument: a mongodb:// URI gets
+    the Mongo store, anything else the embedded SQLite store (the
+    reference is Mongo-only, DaosProvider.java; the SQLite embedded
+    backend is this framework's self-contained default)."""
+    if db_arg.startswith("mongodb://") or db_arg.startswith("mongodb+srv://"):
+        return MongoStore(db_arg)
+    from .db import SqliteStore
+    return SqliteStore(db_arg)
