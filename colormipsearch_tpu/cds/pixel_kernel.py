@@ -143,7 +143,16 @@ def _select_by_lo(lo, values):
 
 
 def _match_words(qw, tw, zt9: int):
-    """Exact per-pixel match predicate on packed words (broadcastable)."""
+    """Exact per-pixel match predicate on packed words (broadcastable).
+
+    For zt9 within the packed-constant range (every production config)
+    dispatches to the fused single-chain form in pixel_pallas (identical
+    results — pinned by test_fast_predicate_equals_general and the
+    engine crosscheck matrix); the general two-chain staging below is
+    the fallback for extreme zTolerance."""
+    from .pixel_pallas import (_PACK_ZT9_MAX, _match_unpacked_fast)
+    if zt9 <= _PACK_ZT9_MAX:
+        return _match_unpacked_fast(_unpack(qw), _unpack(tw), zt9)
     b1, a1, s1, qsel, qcl, qcu = _unpack(qw)
     b2, a2, s2, tsel, tcl, tcu = _unpack(tw)
 

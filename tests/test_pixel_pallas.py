@@ -40,3 +40,31 @@ def test_pallas_matches_dense_random():
     ds, dr, dm = dense.score_batch(t)
     np.testing.assert_array_equal(ps, ds)
     np.testing.assert_array_equal(pm, dm)
+
+
+def test_fast_predicate_equals_general():
+    """Packed-constant predicate == general staged predicate on random
+    word pairs, for every production zt9 and at the packing gate edge."""
+    import jax.numpy as jnp
+    from colormipsearch_tpu.cds.pixel_pallas import (
+        _match_unpacked, _match_unpacked_fast, _unpack, _PACK_ZT9_MAX)
+    from colormipsearch_tpu.cds.pixel_kernel import z_tolerance_to_zt9
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    def words():
+        b = rng.integers(0, 256, n)
+        a = rng.integers(0, 256, n)
+        s = rng.integers(0, 7, n)
+        sel = rng.integers(0, 2, n)
+        cl = rng.integers(0, 2, n)
+        cu = rng.integers(0, 2, n)
+        return jnp.asarray((b | (a << 8) | (s << 16) | (sel << 19)
+                            | (cl << 20) | (cu << 21)).astype(np.int32))
+    w1, w2 = words(), words()
+    q, t = _unpack(w1), _unpack(w2)
+    for zt9 in (0, z_tolerance_to_zt9(1.0), z_tolerance_to_zt9(2.0),
+                _PACK_ZT9_MAX):
+        got = np.asarray(_match_unpacked_fast(q, t, zt9))
+        want = np.asarray(_match_unpacked(q, t, zt9))
+        np.testing.assert_array_equal(got, want), zt9
