@@ -26,16 +26,73 @@ import numpy as np
 REFERENCE_NODE_PAIRS_PER_S = 10_000.0
 
 
+REFERENCE_NODE_SHAPE_PER_S = 2_000.0  # 300 re-ranked lines/mask; grad pass
+                                      # ~5x cheaper than CDS per pair on
+                                      # the 20-core node (estimate)
+
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "fixtures", "cdsearch")
+
+
+def _bench_shape():
+    """Config 2 (BASELINE.md: gradient-score pass): shape/gradient
+    re-ranking matches/s/chip, device-resident target planes."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.shape_oracle import (
+        build_query_shape_planes, build_target_shape_planes)
+    from colormipsearch_tpu.cds.shape_kernel import shape_score_kernel
+
+    query = load_image(os.path.join(_FIXTURES, "ems", "12191_JRC2018U.tif"))
+    excluded = label_regions_mask(query.height, query.width)
+    qp = build_query_shape_planes(query, excluded)
+    lms = sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
+    target = load_image(os.path.join(_FIXTURES, "lms", lms[0]))
+    grad = load_image(os.path.join(
+        _FIXTURES, "grad", lms[0].rsplit(".", 1)[0] + ".png"))
+    tp = build_target_shape_planes(target, grad, None, 20, excluded)
+
+    T = 64
+    def rep(x):
+        return jnp.asarray(np.broadcast_to(np.asarray(x)[None],
+                                           (T,) + np.asarray(x).shape)).copy()
+    r0, r1 = qp.active_row_range()
+    crop = lambda x: x[:, r0:r1]
+    args = [jnp.asarray(qp.q_nonzero[r0:r1]), jnp.asarray(qp.q_slice[r0:r1]),
+            jnp.asarray(qp.q_mask[r0:r1]), jnp.asarray(qp.high_expr[r0:r1]),
+            crop(rep(tp.grad)), crop(rep(tp.z_nonzero)),
+            crop(rep(tp.z_slice)), crop(rep(tp.t_above))]
+    jax.block_until_ready(args)
+    out = shape_score_kernel(*args, mirror=True)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(shape_score_kernel(*args, mirror=True))
+        best = max(best, T / (time.perf_counter() - t0))
+    return {
+        "metric": "shape/gradient re-rank kernel matches/s/chip (negativeRadius20+mirror, row-cropped, device-resident planes)",
+        "value": round(best, 1),
+        "unit": "matches/s",
+        "vs_baseline": round(best / REFERENCE_NODE_SHAPE_PER_S, 3),
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    config = sys.argv[1] if len(sys.argv) > 1 else "pixel"
+    if config == "shape":
+        print(json.dumps(_bench_shape()))
+        return
     from colormipsearch_tpu.imageproc import load_image, label_regions_mask
     from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
 
-    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "tests", "fixtures", "cdsearch")
+    fixtures = _FIXTURES
     lms = sorted(os.listdir(os.path.join(fixtures, "lms")))
 
     query = load_image(os.path.join(fixtures, "ems", "12191_JRC2018U.tif"))
