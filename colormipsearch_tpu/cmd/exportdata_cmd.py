@@ -38,7 +38,20 @@ def add_parser(subparsers) -> None:
     p.add_argument("--db", default=None,
                    help="read matches from this SQLite store")
     p.add_argument("--mips-file", default=None, help="MIP JSON (MIPs export)")
-    p.add_argument("--relative-urls-to", default=None)
+    p.add_argument("--default-relative-url-index", type=int, default=-1,
+                   help="path component the relative URLs start at "
+                        "(ExportData4NBCmd.java:115-117; -1 = keep absolute)")
+    p.add_argument("--relative-url-indexes-by-filetype", nargs="*",
+                   default=[], metavar="FILETYPE=INDEX[,nonhttp]",
+                   help="per-FileType URL index overrides "
+                        "(ExportData4NBCmd.java:119-123)")
+    p.add_argument("--default-image-store", default=None,
+                   help="default NeuronBridge image store "
+                        "(ExportData4NBCmd.java:162)")
+    p.add_argument("--image-stores-per-neuron-meta", nargs="*", default=[],
+                   metavar="ALIGNMENTSPACE[:LIBRARY]=STORE",
+                   help="image store overrides keyed by alignment space "
+                        "and optional library (ExportData4NBCmd.java:165-172)")
     p.add_argument("--size", type=int, default=-1,
                    help="cap matches per mask")
     p.set_defaults(func=run)
@@ -48,9 +61,14 @@ REQUIRED_EXPORT_ATTRS = ("mipId", "libraryName", "publishedName",
                          "alignmentSpace")
 
 
-def neuron_metadata(e: NeuronEntity) -> Dict:
+def neuron_metadata(e: NeuronEntity, url_transformer=None,
+                    image_store_mapping=None) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
-    dto/AbstractNeuronMetadata.java:43-61)."""
+    dto/AbstractNeuronMetadata.java:43-61). When transformers are given,
+    file URLs are relativized per FileType and the FileType.store entry
+    is set from the image-store mapping (AbstractDataExporter.java:76-84,
+    applied BEFORE any library-name remap so the mapping keys on the
+    internal library name)."""
     d: Dict = {"mipId": e.mip_id,
                "libraryName": e.library_name,
                "publishedName": e.published_name,
@@ -66,11 +84,35 @@ def neuron_metadata(e: NeuronEntity) -> Dict:
             d[key] = v.name if hasattr(v, "name") and attr == "gender" else v
     if e.neuron_terms:
         d["neuronTerms"] = list(e.neuron_terms)
-    if e.files:
-        d["files"] = {t.name: v for t, v in sorted(e.files.items(),
-                                                   key=lambda kv: kv[0].name)}
+    files = {t.name: v for t, v in sorted(e.files.items(),
+                                          key=lambda kv: kv[0].name)} \
+        if e.files else {}
+    if image_store_mapping is not None:
+        files["store"] = image_store_mapping.get_image_store(
+            e.alignment_space, e.library_name)
+    if url_transformer is not None:
+        files = {t: (url_transformer.relativize_url(t, v)
+                     if t != "store" else v)
+                 for t, v in files.items()}
+    if files:
+        d["files"] = files
     d["type"] = ("EMImage" if type(e).__name__.startswith("EM") else "LMImage")
     return d
+
+
+def build_transformers(args):
+    """CLI args -> (URLTransformer, ImageStoreMapping|None)
+    (ExportData4NBCmd.java:285-293,399-407)."""
+    from .dataexport import (URLTransformer, parse_file_type_indexes,
+                             parse_image_store_mapping)
+    url_t = URLTransformer(
+        args.default_relative_url_index,
+        parse_file_type_indexes(args.relative_url_indexes_by_filetype))
+    store_m = None
+    if args.default_image_store:
+        store_m = parse_image_store_mapping(
+            args.default_image_store, args.image_stores_per_neuron_meta)
+    return url_t, store_m
 
 
 def validate_export_metadata(d: Dict) -> List[str]:
@@ -102,6 +144,7 @@ def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
 def _export_cd_matches(args, by_target: bool) -> int:
     from .backends import matches_reader
     reader = matches_reader(args.db, args.matchesDir)
+    url_t, store_m = build_transformers(args)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
@@ -113,7 +156,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
         if not selected:
             continue
         mask = selected[0].mask_image
-        mask_meta = neuron_metadata(mask)
+        mask_meta = neuron_metadata(mask, url_t, store_m)
         missing = validate_export_metadata(mask_meta)
         if missing:
             LOG.warning("skipping export for %s: missing attrs %s",
@@ -121,7 +164,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
             continue
         results = []
         for m in selected:
-            image_meta = neuron_metadata(m.matched_image)
+            image_meta = neuron_metadata(m.matched_image, url_t, store_m)
             if validate_export_metadata(image_meta):
                 LOG.warning("skipping match in %s: target missing attrs %s",
                             mip_id, validate_export_metadata(image_meta))
@@ -144,6 +187,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
 def _export_mips(args) -> int:
     from ..dataio import JSONCDMIPsReader
     reader = JSONCDMIPsReader(args.mips_file)
+    url_t, store_m = build_transformers(args)
     entities = reader.read_mips(DataSourceParam())
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
@@ -151,7 +195,7 @@ def _export_mips(args) -> int:
     for e in entities:
         by_name.setdefault(e.published_name or "unknown", []).append(e)
     for name, group in by_name.items():
-        doc = {"results": [neuron_metadata(e) for e in group]}
+        doc = {"results": [neuron_metadata(e, url_t, store_m) for e in group]}
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(doc, f, indent=2)
     LOG.info("exported %d MIPs in %d files", len(entities), len(by_name))

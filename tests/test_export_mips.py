@@ -30,3 +30,65 @@ def test_export_mips_and_validation(tmp_path):
     assert meta["type"] == "EMImage"
     assert meta["neuronType"] == "PFL1"
     assert meta["files"]["CDM"].endswith("CDM.png")
+
+
+def test_url_transformer_semantics():
+    """URLTransformer.java:52-99 behavior: http URLs relativized from the
+    configured component, non-http only with the flag, short URLs and
+    negative index left as-is, blank -> empty."""
+    from colormipsearch_tpu.cmd.dataexport import (URLTransformer,
+                                                   URLTransformerParams)
+    t = URLTransformer(2, {
+        "VisuallyLosslessStack": URLTransformerParams(1, True),
+        "CDM": URLTransformerParams(-1, False),
+    })
+    url = "https://s3.amazonaws.com/janelia-flylight/JRC2018/stacks/a b.png"
+    # default: drop the first 2 path components (bucket/space)
+    assert t.relativize_url("CDMThumbnail", url) == "stacks/a+b.png"
+    # per-type override index 1 + nonhttp
+    assert t.relativize_url("VisuallyLosslessStack",
+                            "local/path/stack.h5j") == "path/stack.h5j"
+    # per-type keep-absolute
+    assert t.relativize_url("CDM", url) == url
+    # non-http without the flag: unchanged
+    assert t.relativize_url("CDMThumbnail", "plain/path.png") == "plain/path.png"
+    # fewer components than index: unchanged (with warning)
+    assert t.relativize_url("CDMThumbnail", "https://x.com/one.png") == \
+        "https://x.com/one.png"
+    assert t.relativize_url("CDMThumbnail", "  ") == ""
+
+
+def test_image_store_mapping_fallbacks():
+    from colormipsearch_tpu.cmd.dataexport import parse_image_store_mapping
+    m = parse_image_store_mapping("fl_light", [
+        "JRC2018_Unisex_20x_HR:flyem_hemibrain=em_store",
+        "JRC2018_VNC_Unisex_40x_DS=vnc_store",
+    ])
+    assert m.get_image_store("JRC2018_Unisex_20x_HR", "flyem_hemibrain") == "em_store"
+    # alignment-space fallback
+    assert m.get_image_store("JRC2018_VNC_Unisex_40x_DS", "any_lib") == "vnc_store"
+    # default fallback
+    assert m.get_image_store("JRC2018_Unisex_20x_HR", "other_lib") == "fl_light"
+
+
+def test_export_applies_store_and_urls(tmp_path):
+    """exportData end-to-end: files URLs relativized, store key set."""
+    from colormipsearch_tpu.cmd.exportdata_cmd import (neuron_metadata,
+                                                       build_transformers)
+    import argparse
+    from colormipsearch_tpu.model import EMNeuronEntity, FileType
+    e = EMNeuronEntity(entity_id=7, mip_id="m7",
+                       alignment_space="JRC2018_Unisex_20x_HR",
+                       library_name="flyem_hemibrain", published_name="7")
+    e.files[FileType.CDMThumbnail] = \
+        "https://s3.amazonaws.com/janelia-flylight/JRC2018/thumb/7.jpg"
+    args = argparse.Namespace(
+        default_relative_url_index=2,
+        relative_url_indexes_by_filetype=[],
+        default_image_store="fl_light",
+        image_stores_per_neuron_meta=[
+            "JRC2018_Unisex_20x_HR:flyem_hemibrain=em_store"])
+    url_t, store_m = build_transformers(args)
+    d = neuron_metadata(e, url_t, store_m)
+    assert d["files"]["store"] == "em_store"
+    assert d["files"]["CDMThumbnail"] == "thumb/7.jpg"
