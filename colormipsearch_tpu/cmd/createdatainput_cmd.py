@@ -129,43 +129,27 @@ def run(args: argparse.Namespace) -> int:
 
 
 def _run_jacs_import(args) -> int:
-    """Paged JACS REST import (CreateCDSDataInputCmd.java:249-260).
-    Network-dependent; returns non-zero if unreachable."""
-    import json
-    import urllib.request
+    """Paged JACS REST import (CreateCDSDataInputCmd.java:249-260,
+    646-678) through the typed client (jacs/client.py): full sample /
+    em-body metadata mapping, retries, auth header."""
+    from ..jacs import JacsClient, em_neuron_from_mip, lm_neuron_from_mip
 
     idgen = TimebasedIdGenerator()
-    entities = []
-    page, page_size = 0, 10000
     em = is_em_library(args.library)
-    while True:
-        url = (f"{args.jacs_url}/data/colorDepthMIPsWithSamples"
-               f"?libraryName={urllib.parse.quote(args.library)}"
-               f"&alignmentSpace={args.alignment_space}"
-               f"&offset={page * page_size}&length={page_size}")
-        req = urllib.request.Request(url)
-        if args.authorization:
-            req.add_header("Authorization", args.authorization)
-        try:
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                batch = json.loads(resp.read())
-        except Exception as e:
-            LOG.error("JACS request failed: %s", e)
-            return 1
-        if not batch:
-            break
-        for cdmip in batch:
-            e = (EMNeuronEntity() if em else LMNeuronEntity())
-            e.entity_id = idgen.generate_id()
-            e.mip_id = cdmip.get("id")
-            e.alignment_space = args.alignment_space
-            e.library_name = args.library
-            e.published_name = cdmip.get("publishedName") or cdmip.get("name")
-            if cdmip.get("filepath"):
-                e.compute_files[ComputeFileType.SourceColorDepthImage] = \
-                    FileData.from_string(cdmip["filepath"])
-            entities.append(e)
-        page += 1
+    client = JacsClient(args.jacs_url, authorization=args.authorization)
+    try:
+        mips = client.retrieve_color_depth_mips_with_samples(
+            args.library, args.alignment_space)
+    except RuntimeError as e:
+        LOG.error("JACS request failed: %s", e)
+        return 1
+    entities = []
+    for mip in mips:
+        e = (em_neuron_from_mip(mip, args.library, args.alignment_space)
+             if em else
+             lm_neuron_from_mip(mip, args.library, args.alignment_space))
+        e.entity_id = idgen.generate_id()
+        entities.append(e)
     out = args.output_filename or os.path.join(
         args.output_dir or ".", f"{args.library.replace(' ', '_')}.json")
     w = JSONCDMIPsWriter(out)

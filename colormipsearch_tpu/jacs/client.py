@@ -1,0 +1,291 @@
+"""JACS REST data client.
+
+Counterpart of cmd/jacsdata/*.java and cmd/HttpHelper.java: paged
+retrieval of color depth MIPs with sample/body metadata from the JACS
+data service, with retries and an auth header, plus the entity mapping
+used by createColorDepthSearchDataInput
+(CreateCDSDataInputCmd.java:569-614 asEMNeuron/asLMNeuron and
+:646-666 retrieveColorDepthMipsWithSamples).
+
+Pure stdlib (urllib) — no Jersey analogue needed; the service speaks
+plain JSON over GET. All calls are synchronous; the import command
+pages through results so memory stays bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from ..model import (ComputeFileType, EMNeuronEntity, FileData, Gender,
+                     LMNeuronEntity)
+
+LOG = logging.getLogger(__name__)
+
+
+@dataclass
+class CDMIPSample:
+    """LM sample metadata (cmd/jacsdata/CDMIPSample.java subset)."""
+    line: Optional[str] = None
+    publishing_name: Optional[str] = None
+    slide_code: Optional[str] = None
+    gender: Optional[str] = None
+    release_label: Optional[str] = None
+    published_to_staging: bool = True
+    publishing_error: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict]) -> Optional["CDMIPSample"]:
+        if d is None:
+            return None
+        return cls(line=d.get("line"),
+                   publishing_name=d.get("publishingName"),
+                   slide_code=d.get("slideCode"),
+                   gender=d.get("gender"),
+                   release_label=d.get("releaseLabel"),
+                   published_to_staging=d.get("publishedToStaging", True),
+                   publishing_error=d.get("publishingError"))
+
+
+@dataclass
+class CDMIPBody:
+    """EM body metadata (cmd/jacsdata/CDMIPBody.java subset)."""
+    dataset_identifier: Optional[str] = None
+    neuron_terms: Optional[List[str]] = None
+    files: Dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict]) -> Optional["CDMIPBody"]:
+        if d is None:
+            return None
+        return cls(dataset_identifier=d.get("datasetIdentifier"),
+                   neuron_terms=d.get("neuronTerms"),
+                   files=d.get("files") or {})
+
+
+@dataclass
+class ColorDepthMIP:
+    """A JACS color depth MIP record with its sample/body joins
+    (cmd/jacsdata/ColorDepthMIP.java; accessor semantics :86-199)."""
+    id: Optional[str] = None
+    name: Optional[str] = None
+    filepath: Optional[str] = None
+    alignment_space: Optional[str] = None
+    library_name: Optional[str] = None
+    anatomical_area: Optional[str] = None
+    objective: Optional[str] = None
+    channel: Optional[str] = None
+    body_id: Optional[int] = None
+    neuron_type: Optional[str] = None
+    neuron_instance: Optional[str] = None
+    sample_ref: Optional[str] = None
+    em_body_ref: Optional[str] = None
+    public_image_url: Optional[str] = None
+    public_thumbnail_url: Optional[str] = None
+    sample: Optional[CDMIPSample] = None
+    em_body: Optional[CDMIPBody] = None
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "ColorDepthMIP":
+        return cls(id=d.get("id"), name=d.get("name"),
+                   filepath=d.get("filepath"),
+                   alignment_space=d.get("alignmentSpace"),
+                   library_name=d.get("libraryName"),
+                   anatomical_area=d.get("anatomicalArea"),
+                   objective=d.get("objective"),
+                   channel=d.get("channel"),
+                   body_id=d.get("bodyId"),
+                   neuron_type=d.get("neuronType"),
+                   neuron_instance=d.get("neuronInstance"),
+                   sample_ref=d.get("sampleRef"),
+                   em_body_ref=d.get("emBodyRef"),
+                   public_image_url=d.get("publicImageUrl"),
+                   public_thumbnail_url=d.get("publicThumbnailUrl"),
+                   sample=CDMIPSample.from_dict(d.get("sample")),
+                   em_body=CDMIPBody.from_dict(d.get("emBody")))
+
+    # accessor semantics mirrored from ColorDepthMIP.java:86-199
+    def em_body_id(self) -> Optional[str]:
+        return str(self.body_id) if self.body_id is not None else None
+
+    def em_dataset(self) -> Optional[str]:
+        return self.em_body.dataset_identifier if self.em_body else None
+
+    def em_terms(self) -> Optional[List[str]]:
+        return self.em_body.neuron_terms if self.em_body else None
+
+    def lm_internal_line_name(self) -> Optional[str]:
+        return self.sample.line if self.sample else None
+
+    def lm_line_name(self) -> Optional[str]:
+        return self.sample.publishing_name if self.sample else None
+
+    def lm_slide_code(self) -> Optional[str]:
+        return self.sample.slide_code if self.sample else None
+
+    def lm_gender(self) -> Optional[str]:
+        return self.sample.gender if self.sample else None
+
+    def lm_release_names(self) -> List[str]:
+        if self.sample and self.sample.release_label:
+            return [self.sample.release_label]
+        return []
+
+
+def http_get_json(url: str, auth: Optional[str] = None, timeout: float = 60.0,
+                  retries: int = 3, backoff: float = 2.0):
+    """GET with retry/backoff (cmd/HttpHelper.java analogue)."""
+    last_err: Optional[Exception] = None
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(url)
+        req.add_header("Accept", "application/json")
+        if auth:
+            req.add_header("Authorization", auth)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status} from {url}")
+                return json.loads(resp.read())
+        except Exception as e:  # noqa: BLE001 - retried, then re-raised
+            last_err = e
+            if attempt < retries:
+                LOG.warning("request %s failed (%s), retry %d/%d",
+                            url, e, attempt + 1, retries)
+                time.sleep(backoff * (attempt + 1))
+    raise RuntimeError(f"JACS request failed after {retries + 1} "
+                       f"attempts: {url}") from last_err
+
+
+class JacsClient:
+    """Paged JACS data-service reader
+    (CreateCDSDataInputCmd.java:646-678)."""
+
+    def __init__(self, base_url: str, authorization: Optional[str] = None,
+                 page_size: int = 10000, retries: int = 3):
+        self.base_url = base_url.rstrip("/")
+        self.authorization = authorization
+        self.page_size = page_size
+        self.retries = retries
+
+    def _get(self, path: str, **params):
+        qs = urllib.parse.urlencode(
+            {k: v for k, v in params.items() if v not in (None, "", [])})
+        url = f"{self.base_url}{path}?{qs}" if qs else f"{self.base_url}{path}"
+        return http_get_json(url, auth=self.authorization,
+                             retries=self.retries)
+
+    def count_color_depth_mips(self, library_name: str,
+                               alignment_space: str) -> int:
+        out = self._get("/data/colorDepthMIPsCount",
+                        libraryName=library_name,
+                        alignmentSpace=alignment_space)
+        return int(out)
+
+    def retrieve_color_depth_mips_with_samples(
+            self, library_name: str, alignment_space: str,
+            datasets: Sequence[str] = (), releases: Sequence[str] = (),
+            mip_ids: Sequence[str] = ()) -> List[ColorDepthMIP]:
+        """All pages of /data/colorDepthMIPsWithSamples
+        (query params per CreateCDSDataInputCmd.java:655-664)."""
+        out: List[ColorDepthMIP] = []
+        offset = 0
+        while True:
+            batch = self._get(
+                "/data/colorDepthMIPsWithSamples",
+                libraryName=library_name, alignmentSpace=alignment_space,
+                dataset=",".join(d for d in datasets if d) or None,
+                release=",".join(r for r in releases if r) or None,
+                id=",".join(m for m in mip_ids if m) or None,
+                offset=offset, length=self.page_size)
+            if not batch:
+                break
+            out.extend(ColorDepthMIP.from_dict(d) for d in batch)
+            if len(batch) < self.page_size:
+                break
+            offset += len(batch)
+        return out
+
+
+class CachedDataHelper:
+    """MIP-by-id cache shared across export passes
+    (cmd/jacsdata/CachedDataHelper.java)."""
+
+    def __init__(self, client: Optional[JacsClient] = None):
+        self.client = client
+        self._mips: Dict[str, ColorDepthMIP] = {}
+        self._library_names: Dict[str, str] = {}
+
+    def cache_mips(self, mips: Sequence[ColorDepthMIP]) -> None:
+        for m in mips:
+            if m.id:
+                self._mips[m.id] = m
+
+    def get_color_depth_mip(self, mip_id: str) -> Optional[ColorDepthMIP]:
+        return self._mips.get(mip_id)
+
+    def set_library_name_mapping(self, mapping: Dict[str, str]) -> None:
+        self._library_names = dict(mapping)
+
+    def get_library_name(self, internal_name: Optional[str]) -> Optional[str]:
+        if internal_name is None:
+            return None
+        return self._library_names.get(internal_name, internal_name)
+
+
+def em_neuron_from_mip(mip: ColorDepthMIP, library_name: str,
+                       alignment_space: str) -> EMNeuronEntity:
+    """ColorDepthMIP -> EMNeuronEntity
+    (CreateCDSDataInputCmd.java:569-592)."""
+    e = EMNeuronEntity()
+    e.mip_id = mip.id
+    e.alignment_space = mip.alignment_space or alignment_space
+    e.library_name = library_name
+    e.source_ref_id = mip.em_body_ref
+    e.published_name = mip.em_body_id()
+    e.neuron_instance = mip.neuron_instance
+    e.neuron_type = mip.neuron_type
+    terms = mip.em_terms()
+    if terms:
+        e.neuron_terms = list(terms)
+    ds = mip.em_dataset()
+    if ds:
+        e.dataset_labels.add(ds)
+    if mip.filepath:
+        e.compute_files[ComputeFileType.SourceColorDepthImage] = \
+            FileData.from_string(mip.filepath)
+    if mip.em_body:
+        for key, ftype in (("SkeletonSWC", ComputeFileType.SkeletonSWC),
+                           ("SkeletonOBJ", ComputeFileType.SkeletonOBJ)):
+            if mip.em_body.files.get(key):
+                e.compute_files[ftype] = FileData.from_string(
+                    mip.em_body.files[key])
+    return e
+
+
+def lm_neuron_from_mip(mip: ColorDepthMIP, library_name: str,
+                       alignment_space: str) -> LMNeuronEntity:
+    """ColorDepthMIP -> LMNeuronEntity
+    (CreateCDSDataInputCmd.java:594-614)."""
+    e = LMNeuronEntity()
+    e.mip_id = mip.id
+    e.alignment_space = mip.alignment_space or alignment_space
+    e.library_name = library_name
+    e.source_ref_id = mip.sample_ref
+    e.internal_line_name = mip.lm_internal_line_name()
+    e.published_name = mip.lm_line_name()
+    e.slide_code = mip.lm_slide_code()
+    e.anatomical_area = mip.anatomical_area
+    g = mip.lm_gender()
+    e.gender = Gender.from_val(g) if g else None
+    e.objective = mip.objective
+    for r in mip.lm_release_names():
+        e.dataset_labels.add(r)
+    if mip.filepath:
+        e.compute_files[ComputeFileType.SourceColorDepthImage] = \
+            FileData.from_string(mip.filepath)
+    return e

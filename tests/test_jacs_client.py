@@ -1,0 +1,153 @@
+"""JACS REST client tests against an in-process HTTP server.
+
+The reference's Jersey client (cmd/jacsdata/*, cmd/HttpHelper.java) has
+no tests; here the paging, auth-header, retry, and entity-mapping
+behavior is pinned with a stdlib http.server fake serving
+/data/colorDepthMIPsWithSamples pages.
+"""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from colormipsearch_tpu.jacs import (CachedDataHelper, ColorDepthMIP,
+                                     JacsClient, em_neuron_from_mip,
+                                     lm_neuron_from_mip)
+from colormipsearch_tpu.model import ComputeFileType, Gender
+
+EM_MIPS = [
+    {"id": f"em-{i}", "name": f"body{i}", "filepath": f"/store/em{i}.tif",
+     "alignmentSpace": "JRC2018_Unisex_20x_HR", "bodyId": 1000 + i,
+     "neuronType": "KC", "neuronInstance": f"KC_{i}", "emBodyRef": f"ref-{i}",
+     "emBody": {"datasetIdentifier": "hemibrain:v1.2.1",
+                "neuronTerms": ["KC", "ab"],
+                "files": {"SkeletonSWC": f"/swc/{i}.swc"}}}
+    for i in range(5)
+]
+
+LM_MIP = {
+    "id": "lm-1", "name": "line1", "filepath": "/store/lm1.tif",
+    "alignmentSpace": "JRC2018_Unisex_20x_HR", "sampleRef": "Sample#77",
+    "anatomicalArea": "Brain", "objective": "40x",
+    "sample": {"line": "GMR_X", "publishingName": "R12A34",
+               "slideCode": "20200101_31_A1", "gender": "f",
+               "releaseLabel": "Gen1 GAL4"},
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    fail_first = 0   # class-level: number of 500s before succeeding
+    seen_auth = []
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        type(self).seen_auth.append(self.headers.get("Authorization"))
+        if type(self).fail_first > 0:
+            type(self).fail_first -= 1
+            self.send_response(500)
+            self.end_headers()
+            return
+        if u.path == "/data/colorDepthMIPsWithSamples":
+            lib = q.get("libraryName")
+            offset = int(q.get("offset", 0))
+            length = int(q.get("length", 10000))
+            data = EM_MIPS if lib == "flyem_hemibrain" else [LM_MIP]
+            page = data[offset:offset + length]
+            body = json.dumps(page).encode()
+        elif u.path == "/data/colorDepthMIPsCount":
+            body = b"5"
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def jacs_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _Handler.seen_auth = []
+    _Handler.fail_first = 0
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_paged_retrieval_and_mapping(jacs_server):
+    client = JacsClient(jacs_server, authorization="Bearer tok",
+                        page_size=2)  # force 3 pages
+    mips = client.retrieve_color_depth_mips_with_samples(
+        "flyem_hemibrain", "JRC2018_Unisex_20x_HR")
+    assert [m.id for m in mips] == [f"em-{i}" for i in range(5)]
+    assert all(a == "Bearer tok" for a in _Handler.seen_auth)
+
+    e = em_neuron_from_mip(mips[0], "flyem_hemibrain", "JRC2018_Unisex_20x_HR")
+    assert e.published_name == "1000"
+    assert e.neuron_type == "KC" and e.neuron_instance == "KC_0"
+    assert e.source_ref_id == "ref-0"
+    assert "hemibrain:v1.2.1" in e.dataset_labels
+    assert e.compute_files[ComputeFileType.SkeletonSWC].file_name == "/swc/0.swc"
+    assert e.compute_files[ComputeFileType.SourceColorDepthImage].file_name \
+        == "/store/em0.tif"
+
+    assert client.count_color_depth_mips(
+        "flyem_hemibrain", "JRC2018_Unisex_20x_HR") == 5
+
+
+def test_lm_mapping(jacs_server):
+    client = JacsClient(jacs_server)
+    mips = client.retrieve_color_depth_mips_with_samples(
+        "flylight_gen1_mcfo", "JRC2018_Unisex_20x_HR")
+    e = lm_neuron_from_mip(mips[0], "flylight_gen1_mcfo",
+                           "JRC2018_Unisex_20x_HR")
+    assert e.published_name == "R12A34"
+    assert e.internal_line_name == "GMR_X"
+    assert e.slide_code == "20200101_31_A1"
+    assert e.gender == Gender.f
+    assert e.objective == "40x" and e.anatomical_area == "Brain"
+    assert "Gen1 GAL4" in e.dataset_labels
+
+
+def test_retry_then_success(jacs_server):
+    _Handler.fail_first = 2
+    client = JacsClient(jacs_server, retries=3)
+    client._get = client._get  # default path; retry inside http_get_json
+    mips = client.retrieve_color_depth_mips_with_samples(
+        "flyem_hemibrain", "JRC2018_Unisex_20x_HR")
+    assert len(mips) == 5  # two 500s absorbed by retries
+
+
+def test_cached_data_helper():
+    helper = CachedDataHelper()
+    helper.cache_mips([ColorDepthMIP(id="m1", name="x")])
+    assert helper.get_color_depth_mip("m1").name == "x"
+    assert helper.get_color_depth_mip("nope") is None
+    helper.set_library_name_mapping({"internal_lib": "Published Lib"})
+    assert helper.get_library_name("internal_lib") == "Published Lib"
+    assert helper.get_library_name("other") == "other"
+
+
+def test_cli_jacs_import(jacs_server, tmp_path):
+    from colormipsearch_tpu.cmd.main import main
+    out = tmp_path / "em_mips.json"
+    rc = main(["createColorDepthSearchDataInput",
+               "--library", "flyem_hemibrain",
+               "--jacs-url", jacs_server,
+               "--authorization", "Bearer tok",
+               "--output-filename", str(out)])
+    assert rc == 0
+    docs = json.load(open(out))
+    assert len(docs) == 5
+    assert docs[0]["publishedName"] == "1000"
+    assert docs[0]["libraryName"] == "flyem_hemibrain"
