@@ -254,7 +254,8 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
 NV_PAD = 32  # accumulator sublanes (>= 2 * n_shifts)
 
 
-def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
+def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
+    assert tb % tg == 0
     # tile-aligned 3x3 super-tile window: Mosaic only slices HBM memrefs
     # at (8, 128)-tile granularity, so each step copies the full tile
     # ring around the query tile; variant slices offset from its center.
@@ -311,39 +312,46 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
 
         q = _unpack(q_ref[0])
 
-        def variant_loop(win, tbi, base_vi):
-            # one (8,128) VMEM load of the PACKED window per variant, then
-            # unpack — keeps live vregs ~14 instead of holding 12 unpacked
-            # (24,384) planes (which spills)
+        def variant_loop(win, g0, base_vi):
+            # one packed VMEM load of a [tg, 8, 128] slice per variant
+            # (tg targets vectorized per op: the per-target scalar loop
+            # was the bottleneck — ~16x off the VPU op roofline), then
+            # unpack in registers; broadcast the query tile across the
+            # target group
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
-                w = win[slot, tbi, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                w = win[slot, pl.ds(g0, tg), r0:r0 + TILE_H,
+                        c0:c0 + TILE_W]
                 m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
-                acc[tbi, base_vi + vi, :] += m.sum(axis=0)
+                acc[pl.ds(g0, tg), base_vi + vi, :] += m.sum(axis=1)
 
-        def target_body(tbi, _):
-            # two early outs: (1) the MXU prescreen marked this
-            # (mask, target) pair as provably below the keep threshold;
-            # (2) the window has no above-threshold target pixel. Neuron
-            # signal covers a few percent of the frame, so most
-            # (tile, target) pairs take one of these.
-            surv = surv_ref[t * tb + tbi]
-            any_d = jnp.max((win_d[slot, tbi] >> 19) & 1)
-            any_m = jnp.max((win_m[slot, tbi] >> 19) & 1)
+        def target_body(gi, _):
+            # two early outs per target GROUP: (1) the MXU prescreen
+            # marked every pair in the group provably below the keep
+            # threshold; (2) no window in the group has an
+            # above-threshold target pixel. Neuron signal covers a few
+            # percent of the frame, so most (tile, group) pairs take
+            # one of these.
+            g0 = gi * tg
+            surv = surv_ref[t * tb + g0]
+            for j in range(1, tg):
+                surv = jnp.maximum(surv, surv_ref[t * tb + g0 + j])
+            any_d = jnp.max((win_d[slot, pl.ds(g0, tg)] >> 19) & 1)
+            any_m = jnp.max((win_m[slot, pl.ds(g0, tg)] >> 19) & 1)
 
             @pl.when((surv > 0) & (any_d > 0))
             def _():
-                variant_loop(win_d, tbi, 0)
+                variant_loop(win_d, g0, 0)
 
             @pl.when((surv > 0) & (any_m > 0))
             def _():
-                variant_loop(win_m, tbi, n_shifts)
+                variant_loop(win_m, g0, n_shifts)
 
             return 0
 
         @pl.when(k < n_act)
         def _():
-            jax.lax.fori_loop(0, tb, target_body, 0)
+            jax.lax.fori_loop(0, tb // tg, target_body, 0)
 
         @pl.when(k == n_k - 1)
         def _():
@@ -354,15 +362,15 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "pad", "shifts_tuple", "tb",
-                                    "interpret"))
+                                    "tg", "interpret"))
 def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
                       zt9: int, pad: int, shifts_tuple, tb: int,
-                      interpret: bool):
+                      tg: int, interpret: bool):
     tsz = t_padded.shape[0]
     assert tsz % tb == 0, "target count must be a multiple of the block"
     n_k = q_tiles.shape[0]
     shifts = list(shifts_tuple)
-    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb, tg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -414,8 +422,12 @@ class ActiveTilePixelEngine:
         self.shifts = tuple(shift_ring_offsets(xy_shift))
         self.interpret = interpret
         # targets scored per kernel step; one slab DMA per step amortizes
-        # DMA latency over target_block * n_variants tile scorings
+        # DMA latency over target_block * n_variants tile scorings.
+        # target_group = targets vectorized per VPU op inside the step
+        # (signal-skip granularity coarsens to the group)
         self.target_block = 16
+        import os as _os
+        self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "2"))
         self.tiles = build_active_tiles(self.planes, self.pad)
 
     def pack_raw_words(self, targets_u8: np.ndarray):
@@ -465,12 +477,21 @@ class ActiveTilePixelEngine:
             surv = jnp.ones((tsz,), jnp.int32)
         else:
             surv = jnp.asarray(np.asarray(survivors).astype(np.int32))
+        tb = max(tb, 1)
+        tg = self.target_group
+        while tb % tg:
+            tg //= 2
         out = _active_tile_call(
             jnp.asarray(self.tiles.coords), surv,
             jnp.asarray(self.tiles.q_tiles),
             t_padded, t_flipped, self.zt9, self.pad, self.shifts,
-            max(tb, 1), self.interpret)
+            tb, max(tg, 1), self.interpret)
         out = np.asarray(out)  # [T, 2*S]
+        if survivors is not None:
+            # the in-kernel skip is group-granular (target_group); zero
+            # non-survivor rows here so the reported scores match the
+            # per-target contract exactly
+            out = out * np.asarray(survivors).astype(np.int64)[:, None]
         n = len(self.shifts)
         direct = out[:, :n].max(axis=1)
         if self.mirror_query:

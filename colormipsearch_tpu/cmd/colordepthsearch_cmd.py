@@ -59,6 +59,11 @@ def add_parser(subparsers) -> None:
     p.add_argument("--process-count", type=int,
                    default=int(__import__("os").environ.get("CMS_PROCESS_COUNT", 0)),
                    help="total grid processes")
+    p.add_argument("--jax-distributed", action="store_true",
+                   help="join a jax.distributed multi-host runtime "
+                        "(CMS_COORDINATOR/CMS_NUM_PROCESSES/CMS_PROCESS_ID) "
+                        "so sweeps run on the GLOBAL device mesh instead "
+                        "of per-process blocks")
     p.add_argument("--engine", choices=("auto", "dense", "pallas"),
                    default="auto",
                    help="scoring engine: active-tile Pallas kernel on TPU, "
@@ -110,6 +115,10 @@ def _load_target_images(targets, cache: MIPsCache, workers: int = 8):
 def run(args: argparse.Namespace) -> int:
     import jax.numpy as jnp
     from ..parallel.sweep import local_pixel_sweep
+
+    if getattr(args, "jax_distributed", False):
+        from ..parallel.multihost import maybe_init_distributed
+        maybe_init_distributed()
 
     t_start = time.time()
     masks = _read_mips(args.masks, args.masks_index, args.masks_length)
