@@ -35,7 +35,9 @@ def matches_reader(db: Optional[str],
 
 
 def matches_writer(db: Optional[str], per_masks_dir: Optional[str],
-                   per_targets_dir: Optional[str] = None) -> NeuronMatchesWriter:
+                   per_targets_dir: Optional[str] = None,
+                   update_scores_only: bool = False) -> NeuronMatchesWriter:
     if db:
-        return DBNeuronMatchesWriter(get_store(db))
+        return DBNeuronMatchesWriter(get_store(db),
+                                     update_scores_only=update_scores_only)
     return JSONNeuronMatchesWriter(per_masks_dir, per_targets_dir)

@@ -49,6 +49,20 @@ def add_parser(subparsers) -> None:
     p.add_argument("--perTargetSubdir", default=None,
                    help="also write per-target grouped results")
     p.add_argument("--processing-tag", default=None)
+    p.add_argument("--update-matches", action="store_true",
+                   help="re-run mode: refresh pixel scores of existing "
+                        "(mask, target) matches without clobbering their "
+                        "gradient/normalized scores "
+                        "(ColorDepthSearchCmd.java:395-401)")
+    p.add_argument("--masks-processing-tags", nargs="*", default=[],
+                   metavar="STAGE=TAG",
+                   help="only process masks already stamped with these "
+                        "processing tags, e.g. ColorDepthSearch=run1 "
+                        "(AbstractGradientScoresArgs.java:58)")
+    p.add_argument("--excluded-masks-processing-tags", nargs="*", default=[],
+                   metavar="STAGE=TAG",
+                   help="skip masks already stamped with these tags "
+                        "(restartable 'process only what lacks tag X')")
     p.add_argument("--write-batch-size", type=int, default=0,
                    help="flush results every N masks (0 = at end)")
     p.add_argument("--db", default=None,
@@ -79,6 +93,33 @@ def _pick_engine(kind: str) -> str:
         return kind
     import jax
     return "pallas" if jax.devices()[0].platform.startswith("tpu") else "dense"
+
+
+def _filter_by_processing_tags(entities, include_specs, exclude_specs):
+    """Restartable stage selection by processedTags stamps (SURVEY §5:
+    'process only what lacks tag X'; AbstractGradientScoresArgs.java:58).
+    Specs are STAGE=TAG with STAGE a ProcessingType name."""
+    from ..model import ProcessingType
+
+    def parse(specs):
+        out = []
+        for s in specs or []:
+            stage, _, tag = s.partition("=")
+            try:
+                out.append((ProcessingType[stage], tag))
+            except KeyError:
+                LOG.warning("unknown processing stage %r in %r", stage, s)
+        return out
+
+    inc, exc = parse(include_specs), parse(exclude_specs)
+    if not inc and not exc:
+        return entities
+    kept = [e for e in entities
+            if all(e.has_processed_tag(pt, tag) for pt, tag in inc)
+            and not any(e.has_processed_tag(pt, tag) for pt, tag in exc)]
+    LOG.info("processing-tag filters kept %d/%d masks", len(kept),
+             len(entities))
+    return kept
 
 
 def _read_mips(files: List[str], index: int, length: int):
@@ -123,6 +164,9 @@ def run(args: argparse.Namespace) -> int:
     t_start = time.time()
     masks = _read_mips(args.masks, args.masks_index, args.masks_length)
     targets = _read_mips(args.targets, args.targets_index, args.targets_length)
+    masks = _filter_by_processing_tags(
+        masks, getattr(args, "masks_processing_tags", []),
+        getattr(args, "excluded_masks_processing_tags", []))
     if args.process_count > 0 and args.process_id >= 0:
         # deterministic grid block, restartable per process id
         # (the LSF job-array mapping, submitCDSJob.sh:58-66)
@@ -269,7 +313,7 @@ def run(args: argparse.Namespace) -> int:
         if args.db and args.write_batch_size > 0 \
                 and len(all_matches) - flushed >= args.write_batch_size:
             from .backends import matches_writer
-            matches_writer(args.db, None).write(all_matches[flushed:])
+            matches_writer(args.db, None, update_scores_only=args.update_matches).write(all_matches[flushed:])
             flushed = len(all_matches)
 
     stage_totals = {"decode": 0.0, "pack": 0.0, "score": 0.0, "collect": 0.0}
@@ -311,7 +355,8 @@ def run(args: argparse.Namespace) -> int:
                      if args.output_dir else None)
         per_targets = (os.path.join(args.output_dir, args.perTargetSubdir)
                        if args.output_dir and args.perTargetSubdir else None)
-        writer = matches_writer(args.db, per_masks, per_targets)
+        writer = matches_writer(args.db, per_masks, per_targets,
+                                update_scores_only=args.update_matches)
         if args.db and flushed:
             n_groups = writer.write(all_matches[flushed:]) if flushed < len(all_matches) else 0
         else:

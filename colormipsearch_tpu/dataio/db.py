@@ -72,9 +72,36 @@ class SqliteStore:
 
     # --- neuron metadata DAO ---
 
+    def _resolve_neuron_identity(self, e: NeuronEntity):
+        """createOrUpdate identity resolution for id-less entities
+        (NeuronMetadataMongoDao.java:80-110): adopt the entity_id of an
+        existing row with the same class + mipId (+ same
+        InputColorDepthImage when present), so re-runs from JSON inputs
+        without entityIds stay idempotent instead of duplicating."""
+        if e.mip_id is None:
+            return None
+        d = e.to_dict()
+        want_cls = d.get("class")
+        want_input = (d.get("computeFiles") or {}).get("InputColorDepthImage")
+        rows = self._conn.execute(
+            "SELECT entity_id, doc FROM neuron_metadata WHERE mip_id = ?",
+            (e.mip_id,)).fetchall()
+        for eid, doc in rows:
+            ex = json.loads(doc)
+            if ex.get("class") != want_cls:
+                continue
+            ex_input = (ex.get("computeFiles") or {}).get("InputColorDepthImage")
+            if want_input and ex_input and want_input != ex_input:
+                continue
+            return eid
+        return None
+
     def upsert_neurons(self, entities: Sequence[NeuronEntity]) -> None:
         rows = []
         for e in entities:
+            if e.entity_id is None:
+                with self._lock:
+                    e.entity_id = self._resolve_neuron_identity(e)
             if e.entity_id is None:
                 e.entity_id = self.id_generator.generate_id()
             rows.append((e.entity_id, e.mip_id, e.alignment_space,
@@ -127,8 +154,15 @@ class SqliteStore:
 
     # --- matches DAO ---
 
-    def upsert_matches(self, matches: Sequence[CDMatchEntity]) -> int:
-        """createOrUpdateAll keyed on (mask_ref, matched_ref)."""
+    def upsert_matches(self, matches: Sequence[CDMatchEntity],
+                       update_scores_only: bool = False) -> int:
+        """createOrUpdateAll keyed on (mask_ref, matched_ref).
+
+        update_scores_only=True is the re-run mode
+        (ColorDepthSearchCmd.java:395-401 with --update-matches): an
+        existing match keeps its gradient/high-expression/normalized
+        fields and only the pixel-match scores are refreshed, so a CDS
+        re-run never clobbers a completed gradientScores pass."""
         n = 0
         with self._lock:
             for m in matches:
@@ -136,6 +170,26 @@ class SqliteStore:
                 matched_ref = m.matched_ref()
                 if mask_ref is None or matched_ref is None:
                     continue
+                if update_scores_only:
+                    row = self._conn.execute(
+                        "SELECT entity_id, doc FROM cd_matches WHERE "
+                        "mask_ref = ? AND matched_ref = ?",
+                        (mask_ref, matched_ref)).fetchone()
+                    if row is not None:
+                        doc = json.loads(row[1])
+                        doc["matchingPixels"] = m.matching_pixels
+                        doc["matchingPixelsRatio"] = m.matching_pixels_ratio
+                        doc["mirrored"] = m.mirrored
+                        self._conn.execute(
+                            "UPDATE cd_matches SET matching_pixels = ?, "
+                            "matching_pixels_ratio = ?, mirrored = ?, "
+                            "doc = ? WHERE entity_id = ?",
+                            (m.matching_pixels, m.matching_pixels_ratio,
+                             1 if m.mirrored else 0, json.dumps(doc),
+                             row[0]))
+                        m.entity_id = row[0]
+                        n += 1
+                        continue
                 if m.entity_id is None:
                     m.entity_id = self.id_generator.generate_id()
                 self._conn.execute(
@@ -291,8 +345,9 @@ class DBNeuronMatchesReader(NeuronMatchesReader):
 
 
 class DBNeuronMatchesWriter(NeuronMatchesWriter):
-    def __init__(self, store: SqliteStore):
+    def __init__(self, store: SqliteStore, update_scores_only: bool = False):
         self.store = store
+        self.update_scores_only = update_scores_only
 
     def write(self, matches: List[CDMatchEntity]) -> int:
         # ensure images are persisted so refs resolve
@@ -303,7 +358,8 @@ class DBNeuronMatchesWriter(NeuronMatchesWriter):
                     key = e.entity_id or id(e)
                     neurons[key] = e
         self.store.upsert_neurons(list(neurons.values()))
-        return self.store.upsert_matches(matches)
+        return self.store.upsert_matches(
+            matches, update_scores_only=self.update_scores_only)
 
     def write_updates(self, matches: List[CDMatchEntity],
                       fields: List[str]) -> int:

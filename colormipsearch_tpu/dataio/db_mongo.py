@@ -93,6 +93,21 @@ class MongoStore:
 
     def upsert_neurons(self, entities: Sequence[NeuronEntity]) -> None:
         for e in entities:
+            if e.entity_id is None and e.mip_id is not None:
+                # createOrUpdate identity resolution for id-less
+                # entities (NeuronMetadataMongoDao.java:80-110)
+                d = e.to_dict()
+                want_input = (d.get("computeFiles") or {}) \
+                    .get("InputColorDepthImage")
+                for ex in self.neurons.find({"mipId": e.mip_id}):
+                    if ex.get("class") != d.get("class"):
+                        continue
+                    ex_input = (ex.get("computeFiles") or {}) \
+                        .get("InputColorDepthImage")
+                    if want_input and ex_input and want_input != ex_input:
+                        continue
+                    e.entity_id = ex["_id"]
+                    break
             if e.entity_id is None:
                 e.entity_id = self.id_generator.generate_id()
             doc = e.to_dict()
@@ -128,7 +143,8 @@ class MongoStore:
 
     # --- matches DAO ---
 
-    def upsert_matches(self, matches: Sequence[CDMatchEntity]) -> int:
+    def upsert_matches(self, matches: Sequence[CDMatchEntity],
+                       update_scores_only: bool = False) -> int:
         n = 0
         for m in matches:
             mask_ref = m.mask_ref()
@@ -137,6 +153,16 @@ class MongoStore:
                 continue
             key = {"maskImageRefId": mask_ref, "matchedImageRefId": matched_ref}
             existing = next(iter(self.matches.find(key)), None)
+            if existing is not None and update_scores_only:
+                # re-run mode: refresh pixel scores, keep shape scores
+                # (AbstractNeuronMatchesMongoDao field updates)
+                m.entity_id = existing["_id"]
+                self.matches.update_one({"_id": existing["_id"]}, {"$set": {
+                    "matchingPixels": m.matching_pixels,
+                    "matchingPixelsRatio": m.matching_pixels_ratio,
+                    "mirrored": m.mirrored}})
+                n += 1
+                continue
             if existing is not None:
                 m.entity_id = existing["_id"]
             elif m.entity_id is None:

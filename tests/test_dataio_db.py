@@ -68,3 +68,35 @@ def test_db_neurons_selectors(tmp_path):
               if e.has_processed_tag(ProcessingType.ColorDepthSearch, "t1")]
     assert len(tagged) == len({e.entity_id for e in entities[:3]})
     assert store.distinct_neuron_values("library_name")
+
+
+def test_update_scores_only_preserves_shape_scores(tmp_path):
+    """--update-matches re-run semantics: pixel scores refresh, gradient
+    and normalized scores survive (ColorDepthSearchCmd.java:395-401)."""
+    store = SqliteStore(str(tmp_path / "nb.db"))
+    matches = load_fixture_matches()
+    writer = DBNeuronMatchesWriter(store)
+    writer.write(matches)
+    # simulate a completed gradientScores + normalize pass
+    for m in matches:
+        m.gradient_area_gap = 12345
+        m.normalized_score = 88.5
+    writer.write_updates(matches, ["gradientAreaGap", "normalizedScore"])
+
+    # CDS re-run with different pixel scores, update-only writer.
+    # Re-serialize through the wire format (entity ids included, as a
+    # createDataInput-produced masks.json or DB read would carry them).
+    rerun = [CDMatchEntity.from_dict(m.to_dict()) for m in matches]
+    for m in rerun:
+        m.matching_pixels = (m.matching_pixels or 0) + 1
+    DBNeuronMatchesWriter(store, update_scores_only=True).write(rerun)
+
+    reader = DBNeuronMatchesReader(store)
+    mips = reader.list_match_locations([DataSourceParam()])
+    read = reader.read_matches_by_mask(DataSourceParam(mip_ids=mips))
+    assert all(m.gradient_area_gap == 12345 for m in read)
+    assert all(m.normalized_score == 88.5 for m in read)
+    orig = {(m.mask_ref(), m.matched_ref()): m.matching_pixels
+            for m in matches}
+    for m in read:
+        assert m.matching_pixels == orig[(m.mask_ref(), m.matched_ref())] + 1
