@@ -87,6 +87,47 @@ class ImageStoreMapping:
                              self.default_image_store))
 
 
+# uploaded-URL key -> published FileType name
+# (ColorDepthMIP.java:28-31, updateEMNeuron :269-272 / updateLMNeuron
+# :218-221; skeleton uploads are EM-only)
+UPLOADED_KEY_TO_FILE_TYPE = (
+    ("cdm", "CDM", None),
+    ("cdm_thumbnail", "CDMThumbnail", None),
+    ("skeletonswc", "AlignedBodySWC", "EM"),
+    ("skeletonobj", "AlignedBodyOBJ", "EM"),
+)
+
+
+def apply_published_urls(files: Dict[str, str], uploaded: Mapping[str, str],
+                         is_em: bool) -> Dict[str, str]:
+    """Merge a neuron's uploaded published URLs into its files map
+    (ColorDepthMIP.updateEMNeuron/updateLMNeuron)."""
+    out = dict(files)
+    for key, file_type, scope in UPLOADED_KEY_TO_FILE_TYPE:
+        if scope == "EM" and not is_em:
+            continue
+        url = (uploaded or {}).get(key)
+        if url:
+            out[file_type] = url
+    return out
+
+
+def load_published_urls(path: str) -> Dict[str, Dict[str, str]]:
+    """Read a published-URLs JSON file: a list of
+    {"_id"|"id": neuronId, "uploaded": {key: url}} records (the shape of
+    the reference's publishedURLs Mongo collection,
+    model/NeuronPublishedURLs.java:10-15)."""
+    import json
+    with open(path) as f:
+        docs = json.load(f)
+    out = {}
+    for d in docs:
+        nid = d.get("_id", d.get("id"))
+        if nid is not None:
+            out[str(nid)] = d.get("uploaded") or {}
+    return out
+
+
 def parse_file_type_indexes(pairs) -> Dict[str, URLTransformerParams]:
     """--relative-url-indexes-by-filetype values: FileType=index[,nonhttp]."""
     out: Dict[str, URLTransformerParams] = {}

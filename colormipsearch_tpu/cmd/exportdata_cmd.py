@@ -52,6 +52,11 @@ def add_parser(subparsers) -> None:
                    metavar="ALIGNMENTSPACE[:LIBRARY]=STORE",
                    help="image store overrides keyed by alignment space "
                         "and optional library (ExportData4NBCmd.java:165-172)")
+    p.add_argument("--published-urls", default=None,
+                   help="published-URLs JSON (publishedURLs collection "
+                        "shape: [{id, uploaded:{cdm, cdm_thumbnail, ...}}]); "
+                        "merged into exported files maps "
+                        "(ColorDepthMIP.updateEMNeuron/updateLMNeuron)")
     p.add_argument("--size", type=int, default=-1,
                    help="cap matches per mask")
     p.set_defaults(func=run)
@@ -62,7 +67,7 @@ REQUIRED_EXPORT_ATTRS = ("mipId", "libraryName", "publishedName",
 
 
 def neuron_metadata(e: NeuronEntity, url_transformer=None,
-                    image_store_mapping=None) -> Dict:
+                    image_store_mapping=None, published_urls=None) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
     dto/AbstractNeuronMetadata.java:43-61). When transformers are given,
     file URLs are relativized per FileType and the FileType.store entry
@@ -87,6 +92,13 @@ def neuron_metadata(e: NeuronEntity, url_transformer=None,
     files = {t.name: v for t, v in sorted(e.files.items(),
                                           key=lambda kv: kv[0].name)} \
         if e.files else {}
+    if published_urls:
+        from .dataexport import apply_published_urls
+        uploaded = published_urls.get(str(e.entity_id)) \
+            or published_urls.get(e.mip_id or "")
+        if uploaded:
+            files = apply_published_urls(
+                files, uploaded, type(e).__name__.startswith("EM"))
     if image_store_mapping is not None:
         files["store"] = image_store_mapping.get_image_store(
             e.alignment_space, e.library_name)
@@ -101,9 +113,10 @@ def neuron_metadata(e: NeuronEntity, url_transformer=None,
 
 
 def build_transformers(args):
-    """CLI args -> (URLTransformer, ImageStoreMapping|None)
+    """CLI args -> (URLTransformer, ImageStoreMapping|None, publishedURLs)
     (ExportData4NBCmd.java:285-293,399-407)."""
-    from .dataexport import (URLTransformer, parse_file_type_indexes,
+    from .dataexport import (URLTransformer, load_published_urls,
+                             parse_file_type_indexes,
                              parse_image_store_mapping)
     url_t = URLTransformer(
         args.default_relative_url_index,
@@ -112,7 +125,10 @@ def build_transformers(args):
     if args.default_image_store:
         store_m = parse_image_store_mapping(
             args.default_image_store, args.image_stores_per_neuron_meta)
-    return url_t, store_m
+    urls = None
+    if getattr(args, "published_urls", None):
+        urls = load_published_urls(args.published_urls)
+    return url_t, store_m, urls
 
 
 def validate_export_metadata(d: Dict) -> List[str]:
@@ -144,7 +160,7 @@ def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
 def _export_cd_matches(args, by_target: bool) -> int:
     from .backends import matches_reader
     reader = matches_reader(args.db, args.matchesDir)
-    url_t, store_m = build_transformers(args)
+    url_t, store_m, pub_urls = build_transformers(args)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
@@ -156,7 +172,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
         if not selected:
             continue
         mask = selected[0].mask_image
-        mask_meta = neuron_metadata(mask, url_t, store_m)
+        mask_meta = neuron_metadata(mask, url_t, store_m, pub_urls)
         missing = validate_export_metadata(mask_meta)
         if missing:
             LOG.warning("skipping export for %s: missing attrs %s",
@@ -164,7 +180,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
             continue
         results = []
         for m in selected:
-            image_meta = neuron_metadata(m.matched_image, url_t, store_m)
+            image_meta = neuron_metadata(m.matched_image, url_t, store_m, pub_urls)
             if validate_export_metadata(image_meta):
                 LOG.warning("skipping match in %s: target missing attrs %s",
                             mip_id, validate_export_metadata(image_meta))
@@ -187,7 +203,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
 def _export_mips(args) -> int:
     from ..dataio import JSONCDMIPsReader
     reader = JSONCDMIPsReader(args.mips_file)
-    url_t, store_m = build_transformers(args)
+    url_t, store_m, pub_urls = build_transformers(args)
     entities = reader.read_mips(DataSourceParam())
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
@@ -195,7 +211,8 @@ def _export_mips(args) -> int:
     for e in entities:
         by_name.setdefault(e.published_name or "unknown", []).append(e)
     for name, group in by_name.items():
-        doc = {"results": [neuron_metadata(e, url_t, store_m) for e in group]}
+        doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls)
+                           for e in group]}
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(doc, f, indent=2)
     LOG.info("exported %d MIPs in %d files", len(entities), len(by_name))

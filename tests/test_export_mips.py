@@ -88,7 +88,28 @@ def test_export_applies_store_and_urls(tmp_path):
         default_image_store="fl_light",
         image_stores_per_neuron_meta=[
             "JRC2018_Unisex_20x_HR:flyem_hemibrain=em_store"])
-    url_t, store_m = build_transformers(args)
+    url_t, store_m, _ = build_transformers(args)
     d = neuron_metadata(e, url_t, store_m)
     assert d["files"]["store"] == "em_store"
     assert d["files"]["CDMThumbnail"] == "thumb/7.jpg"
+
+
+def test_published_urls_merge(tmp_path):
+    """Uploaded published URLs merge into files (CDM/thumbnail both
+    kinds; skeleton uploads EM-only), then relativize."""
+    import json
+    from colormipsearch_tpu.cmd.dataexport import (apply_published_urls,
+                                                   load_published_urls)
+    f = tmp_path / "urls.json"
+    json.dump([{"id": 42, "uploaded": {
+        "cdm": "https://s3.amazonaws.com/nb/JRC2018/cdm/42.png",
+        "cdm_thumbnail": "https://s3.amazonaws.com/nb/JRC2018/thumb/42.jpg",
+        "skeletonswc": "https://s3.amazonaws.com/nb/JRC2018/swc/42.swc"}}],
+        open(f, "w"))
+    urls = load_published_urls(str(f))
+    em_files = apply_published_urls({}, urls["42"], is_em=True)
+    assert em_files["CDM"].endswith("cdm/42.png")
+    assert em_files["AlignedBodySWC"].endswith("42.swc")
+    lm_files = apply_published_urls({}, urls["42"], is_em=False)
+    assert "AlignedBodySWC" not in lm_files
+    assert lm_files["CDMThumbnail"].endswith("thumb/42.jpg")
