@@ -313,17 +313,23 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
         q = _unpack(q_ref[0])
 
         def variant_loop(win, g0, base_vi):
-            # one packed VMEM load of a [tg, 8, 128] slice per variant
-            # (tg targets vectorized per op: the per-target scalar loop
-            # was the bottleneck — ~16x off the VPU op roofline), then
-            # unpack in registers; broadcast the query tile across the
-            # target group
+            # one packed VMEM load per variant, then unpack in registers
+            # — keeps live vregs ~14 instead of holding 12 unpacked
+            # (24,384) planes (which spills). tg>1 vectorizes a
+            # [tg, 8, 128] target group per op (measured SLOWER than the
+            # squeezed per-target load on current Mosaic — grouped
+            # slices defeat its addressing; kept for future re-tests)
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
-                w = win[slot, pl.ds(g0, tg), r0:r0 + TILE_H,
-                        c0:c0 + TILE_W]
-                m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
-                acc[pl.ds(g0, tg), base_vi + vi, :] += m.sum(axis=1)
+                if tg == 1:
+                    w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
+                    acc[g0, base_vi + vi, :] += m.sum(axis=0)
+                else:
+                    w = win[slot, pl.ds(g0, tg), r0:r0 + TILE_H,
+                            c0:c0 + TILE_W]
+                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
+                    acc[pl.ds(g0, tg), base_vi + vi, :] += m.sum(axis=1)
 
         def target_body(gi, _):
             # two early outs per target GROUP: (1) the MXU prescreen
@@ -427,7 +433,7 @@ class ActiveTilePixelEngine:
         # (signal-skip granularity coarsens to the group)
         self.target_block = 16
         import os as _os
-        self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "2"))
+        self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "1"))
         self.tiles = build_active_tiles(self.planes, self.pad)
 
     def pack_raw_words(self, targets_u8: np.ndarray):

@@ -197,7 +197,7 @@ def run(args: argparse.Namespace) -> int:
     pad = max(args.xyShift, 1)
 
     # persist session params for provenance (ColorDepthSearchCmd.java:255-278)
-    if args.output_dir:
+    if args.output_dir or args.db:
         session = CDSSessionEntity(
             entity_id=session_id, username=getpass.getuser(),
             params={"mirrorMask": args.mirrorMask,
@@ -208,7 +208,11 @@ def run(args: argparse.Namespace) -> int:
                     "pctPositivePixels": args.pctPositivePixels},
             masks=[{"file": f} for f in args.masks],
             targets=[{"file": f} for f in args.targets])
-        JSONCDSSessionWriter(args.output_dir).create_session(session)
+        if args.db:
+            from .backends import get_store
+            get_store(args.db).create_session(session)
+        else:
+            JSONCDSSessionWriter(args.output_dir).create_session(session)
 
     all_matches: List[CDMatchEntity] = []
     target_parts = partition_collection(targets, args.processingPartitionSize)

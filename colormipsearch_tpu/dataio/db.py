@@ -51,6 +51,9 @@ CREATE TABLE IF NOT EXISTS cd_matches (
     UNIQUE(mask_ref, matched_ref));
 CREATE INDEX IF NOT EXISTS idx_cm_mask ON cd_matches(mask_ref);
 CREATE INDEX IF NOT EXISTS idx_cm_matched ON cd_matches(matched_ref);
+
+CREATE TABLE IF NOT EXISTS cd_sessions (
+    entity_id INTEGER PRIMARY KEY, doc TEXT NOT NULL);
 """
 
 
@@ -151,6 +154,26 @@ class SqliteStore:
                 f"SELECT DISTINCT {column} FROM neuron_metadata "
                 f"WHERE {column} IS NOT NULL").fetchall()
         return sorted(r[0] for r in rows)
+
+    # --- session DAO (DBCDSSessionWriter / MatchSessionDao analogue) ---
+
+    def create_session(self, session) -> int:
+        """Persist a CDS run's parameters for provenance
+        (ColorDepthSearchCmd.java:255-278)."""
+        if session.entity_id is None:
+            session.entity_id = self.id_generator.generate_id()
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO cd_sessions VALUES (?, ?)",
+                (session.entity_id, json.dumps(session.to_dict())))
+            self._conn.commit()
+        return session.entity_id
+
+    def list_sessions(self) -> List[dict]:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT doc FROM cd_sessions ORDER BY entity_id").fetchall()
+        return [json.loads(r[0]) for r in rows]
 
     # --- matches DAO ---
 

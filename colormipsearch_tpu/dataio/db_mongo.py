@@ -71,6 +71,7 @@ class MongoStore:
         self._db = client[dbname or "neuronbridge"]
         self.neurons = self._db["neuronMetadata"]
         self.matches = self._db["cdMatches"]
+        self.sessions = self._db["matchSessions"]
         self.id_generator = TimebasedIdGenerator()
         for key in ("mipId", "libraryName", "publishedName"):
             try:
@@ -140,6 +141,20 @@ class MongoStore:
         if key is None:
             raise ValueError(column)
         return sorted(v for v in self.neurons.distinct(key) if v is not None)
+
+    # --- session DAO (MatchSessionMongoDao analogue) ---
+
+    def create_session(self, session) -> int:
+        if session.entity_id is None:
+            session.entity_id = self.id_generator.generate_id()
+        doc = session.to_dict()
+        doc["_id"] = session.entity_id
+        self.sessions.replace_one({"_id": session.entity_id}, doc, upsert=True)
+        return session.entity_id
+
+    def list_sessions(self):
+        return sorted((dict(d) for d in self.sessions.find({})),
+                      key=lambda d: d.get("_id", 0))
 
     # --- matches DAO ---
 

@@ -100,3 +100,17 @@ def test_update_scores_only_preserves_shape_scores(tmp_path):
             for m in matches}
     for m in read:
         assert m.matching_pixels == orig[(m.mask_ref(), m.matched_ref())] + 1
+
+
+def test_session_provenance(tmp_path):
+    """CDS sessions persist run params (DBCDSSessionWriter analogue)."""
+    from colormipsearch_tpu.model import CDSSessionEntity
+    store = SqliteStore(str(tmp_path / "nb.db"))
+    s = CDSSessionEntity(username="tester",
+                         params={"xyShift": 2, "mirrorMask": True},
+                         masks=[{"file": "m.json"}],
+                         targets=[{"file": "t.json"}])
+    sid = store.create_session(s)
+    docs = store.list_sessions()
+    assert len(docs) == 1 and docs[0]["params"]["xyShift"] == 2
+    assert sid == s.entity_id
