@@ -223,6 +223,25 @@ def _export_ppp_matches(args) -> int:
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
+    if args.db:
+        # DB-backed PPP export (EMPPPMatchesExporter over the pppMatches
+        # collection)
+        from .backends import get_store
+        store = get_store(args.db)
+        for em_name in store.list_ppp_em_names():
+            matches = store.find_ppp_matches_by_em(em_name)
+            if args.size > 0:
+                matches = matches[:args.size]
+            if not matches:
+                continue
+            doc = {"inputImage": (matches[0].mask_image.to_dict()
+                                  if matches[0].mask_image else None),
+                   "results": [m.to_dict() for m in matches]}
+            with open(os.path.join(out_dir, f"{em_name}.json"), "w") as f:
+                json.dump(doc, f, indent=2)
+            n += len(matches)
+        LOG.info("exported %d PPP matches", n)
+        return 0
     for fname in sorted(os.listdir(args.matchesDir)):
         if not fname.endswith(".json"):
             continue
@@ -247,8 +266,8 @@ def run(args: argparse.Namespace) -> int:
             return 1
         return _export_cd_matches(args, by_target=(t == "LM_CD_MATCHES"))
     if t == "EM_PPP_MATCHES":
-        if not args.matchesDir:
-            LOG.error("--matchesDir required for %s", t)
+        if not args.matchesDir and not args.db:
+            LOG.error("--matchesDir or --db required for %s", t)
             return 1
         return _export_ppp_matches(args)
     if not args.mips_file:

@@ -31,6 +31,9 @@ def add_parser(subparsers) -> None:
     p.add_argument("--em-library", default="flyem_hemibrain")
     p.add_argument("--lm-library", default="flylight_split_gal4_published")
     p.add_argument("--alignment-space", "-as", default="JRC2018_Unisex_20x_HR")
+    p.add_argument("--db", default=None,
+                   help="also upsert matches into this store "
+                        "(pppMatches collection analogue)")
     p.set_defaults(func=run)
 
 
@@ -77,6 +80,13 @@ def run(args: argparse.Namespace) -> int:
             if args.screenshots_dir:
                 _attach_screenshots(m, args.screenshots_dir)
             matches_by_em.setdefault(em_name, []).append(m)
+
+    if args.db:
+        from .backends import get_store
+        store = get_store(args.db)
+        n_db = sum(store.upsert_ppp_matches(ms)
+                   for ms in matches_by_em.values())
+        LOG.info("upserted %d PPP matches into %s", n_db, args.db)
 
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)

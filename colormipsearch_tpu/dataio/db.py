@@ -54,6 +54,13 @@ CREATE INDEX IF NOT EXISTS idx_cm_matched ON cd_matches(matched_ref);
 
 CREATE TABLE IF NOT EXISTS cd_sessions (
     entity_id INTEGER PRIMARY KEY, doc TEXT NOT NULL);
+
+CREATE TABLE IF NOT EXISTS ppp_matches (
+    entity_id INTEGER PRIMARY KEY,
+    em_name TEXT NOT NULL, lm_name TEXT NOT NULL,
+    rank REAL, doc TEXT NOT NULL,
+    UNIQUE(em_name, lm_name));
+CREATE INDEX IF NOT EXISTS idx_ppp_em ON ppp_matches(em_name);
 """
 
 
@@ -174,6 +181,45 @@ class SqliteStore:
             rows = self._conn.execute(
                 "SELECT doc FROM cd_sessions ORDER BY entity_id").fetchall()
         return [json.loads(r[0]) for r in rows]
+
+    # --- PPP matches DAO (pppMatches collection analogue;
+    # AbstractNeuronMatchesMongoDao over PPPMatchEntity). Upserts key on
+    # the stable (sourceEmName, sourceLmName) pair — PPP imports carry
+    # no neuron entity ids (ImportPPPResultsCmd builds neurons from the
+    # raw names), so the natural key replaces the reference's image-ref
+    # key with identical idempotence semantics. ---
+
+    def upsert_ppp_matches(self, matches) -> int:
+        n = 0
+        with self._lock:
+            for m in matches:
+                if not m.source_em_name or not m.source_lm_name:
+                    continue
+                if m.entity_id is None:
+                    m.entity_id = self.id_generator.generate_id()
+                self._conn.execute(
+                    "INSERT INTO ppp_matches VALUES (?,?,?,?,?) "
+                    "ON CONFLICT(em_name, lm_name) DO UPDATE SET "
+                    "rank=excluded.rank, doc=excluded.doc",
+                    (m.entity_id, m.source_em_name, m.source_lm_name,
+                     m.rank, json.dumps(m.to_dict())))
+                n += 1
+            self._conn.commit()
+        return n
+
+    def list_ppp_em_names(self) -> List[str]:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT DISTINCT em_name FROM ppp_matches").fetchall()
+        return sorted(r[0] for r in rows)
+
+    def find_ppp_matches_by_em(self, em_name: str):
+        from ..model.entities import PPPMatchEntity
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT doc FROM ppp_matches WHERE em_name = ? "
+                "ORDER BY rank", (em_name,)).fetchall()
+        return [PPPMatchEntity.from_dict(json.loads(r[0])) for r in rows]
 
     # --- matches DAO ---
 

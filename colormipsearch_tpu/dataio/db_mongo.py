@@ -72,6 +72,7 @@ class MongoStore:
         self.neurons = self._db["neuronMetadata"]
         self.matches = self._db["cdMatches"]
         self.sessions = self._db["matchSessions"]
+        self.ppp_matches = self._db["pppMatches"]
         self.id_generator = TimebasedIdGenerator()
         for key in ("mipId", "libraryName", "publishedName"):
             try:
@@ -155,6 +156,43 @@ class MongoStore:
     def list_sessions(self):
         return sorted((dict(d) for d in self.sessions.find({})),
                       key=lambda d: d.get("_id", 0))
+
+    # --- PPP matches DAO (pppMatches collection; natural-key upserts
+    # matching db.SqliteStore.upsert_ppp_matches) ---
+
+    def upsert_ppp_matches(self, matches) -> int:
+        n = 0
+        for m in matches:
+            if not m.source_em_name or not m.source_lm_name:
+                continue
+            key = {"sourceEmName": m.source_em_name,
+                   "sourceLmName": m.source_lm_name}
+            existing = next(iter(self.ppp_matches.find(key)), None)
+            if existing is not None:
+                m.entity_id = existing["_id"]
+            elif m.entity_id is None:
+                m.entity_id = self.id_generator.generate_id()
+            doc = m.to_dict()
+            doc["_id"] = m.entity_id
+            doc.update(key)
+            self.ppp_matches.replace_one(key, doc, upsert=True)
+            n += 1
+        return n
+
+    def list_ppp_em_names(self) -> List[str]:
+        return sorted(v for v in self.ppp_matches.distinct("sourceEmName")
+                      if v)
+
+    def find_ppp_matches_by_em(self, em_name: str):
+        from ..model.entities import PPPMatchEntity
+        docs = list(self.ppp_matches.find({"sourceEmName": em_name}))
+        docs.sort(key=lambda d: d.get("rank") or 0)
+        out = []
+        for d in docs:
+            d = dict(d)
+            d.pop("_id", None)
+            out.append(PPPMatchEntity.from_dict(d))
+        return out
 
     # --- matches DAO ---
 

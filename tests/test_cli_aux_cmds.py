@@ -85,3 +85,40 @@ def test_copy_to_mips_store_cmd(tmp_path, fixtures_dir):
     assert rc == 0
     copied = list(store.rglob("*.tif"))
     assert len(copied) >= 3
+
+
+def test_ppp_db_roundtrip(tmp_path):
+    """importPPPResults --db -> DB pppMatches -> exportData from DB."""
+    import json
+    import shutil
+    from colormipsearch_tpu.cmd.main import main
+    rd = tmp_path / "ppp" / "00"
+    rd.mkdir(parents=True)
+    for f in FIXTURES.glob("cov_scores_*.json"):
+        shutil.copy(f, rd)
+    db = str(tmp_path / "nb.db")
+    rc = main(["importPPPResults", "-rd", str(tmp_path / "ppp"),
+               "-od", str(tmp_path / "ppp_json"), "--db", db])
+    assert rc == 0
+    # re-import is idempotent (natural-key upserts)
+    rc = main(["importPPPResults", "-rd", str(tmp_path / "ppp"),
+               "-od", str(tmp_path / "ppp_json2"), "--db", db])
+    assert rc == 0
+    from colormipsearch_tpu.cmd.backends import get_store
+    store = get_store(db)
+    ems = store.list_ppp_em_names()
+    assert len(ems) == 2
+    first = store.find_ppp_matches_by_em(ems[0])
+    assert first and first[0].cov_score is not None
+
+    out = tmp_path / "ppp_export"
+    rc = main(["exportData", "--exported-result-type", "EM_PPP_MATCHES",
+               "--db", db, "-od", str(out)])
+    assert rc == 0
+    docs = sorted(out.glob("*.json"))
+    assert len(docs) == 2
+    d = json.load(open(docs[0]))
+    assert d["results"] and "coverageScore" in d["results"][0]
+    # ranks ascending (reference orders PPP by rank)
+    ranks = [r.get("rank") or 0 for r in d["results"]]
+    assert ranks == sorted(ranks)
