@@ -20,7 +20,10 @@ def add_parser(subparsers) -> None:
     p = subparsers.add_parser("validateDBData",
                               help="validate entities vs files on disk")
     add_common_args(p)
-    p.add_argument("--mips-file", required=True)
+    p.add_argument("--mips-file", default=None)
+    p.add_argument("--db", default=None,
+                   help="validate neurons from this store instead of a "
+                        "JSON file")
     p.add_argument("--required-compute-files", nargs="*",
                    default=["InputColorDepthImage"])
     p.add_argument("--check-file-existence", action="store_true")
@@ -29,8 +32,15 @@ def add_parser(subparsers) -> None:
 
 
 def run(args: argparse.Namespace) -> int:
-    reader = JSONCDMIPsReader(args.mips_file)
-    entities = reader.read_mips(DataSourceParam())
+    if not args.mips_file and not args.db:
+        LOG.error("--mips-file or --db required")
+        return 1
+    if args.db:
+        from .backends import get_store
+        entities = get_store(args.db).find_neurons(DataSourceParam())
+    else:
+        entities = JSONCDMIPsReader(args.mips_file).read_mips(
+            DataSourceParam())
     errors = []
     required = [ComputeFileType.from_name(n)
                 for n in args.required_compute_files]
