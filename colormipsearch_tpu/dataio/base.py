@@ -46,7 +46,7 @@ class DataSourceParam:
         if self.datasets and not (self.datasets & e.dataset_labels):
             return False
         if self.tags or self.excluded_tags:
-            all_tags = set()
+            all_tags = set(getattr(e, "tags", ()) or ())
             for tags in e.processed_tags.values():
                 all_tags |= tags
             if self.tags and not (self.tags & all_tags):

@@ -35,6 +35,7 @@ class NeuronEntity:
     compute_files: Dict[ComputeFileType, FileData] = field(default_factory=dict)
     processed_tags: Dict[ProcessingType, Set[str]] = field(default_factory=dict)
     dataset_labels: Set[str] = field(default_factory=set)
+    tags: Set[str] = field(default_factory=set)
     files: Dict[FileType, str] = field(default_factory=dict)
 
     JSON_CLASS = ""
@@ -81,6 +82,8 @@ class NeuronEntity:
                                   for p, tags in self.processed_tags.items()}
         if self.dataset_labels:
             d["datasetLabels"] = sorted(self.dataset_labels)
+        if self.tags:
+            d["tags"] = sorted(self.tags)
         return d
 
     def to_dict(self) -> Dict[str, Any]:
@@ -108,6 +111,7 @@ class NeuronEntity:
             except ValueError:
                 pass
         self.dataset_labels = set(d.get("datasetLabels") or [])
+        self.tags = set(d.get("tags") or [])
 
 
 @dataclass

@@ -66,7 +66,7 @@ def test_tag_and_validate_cmds(tmp_path, fixtures_dir):
                "--names", "12191"])
     assert rc == 0
     mips = JSONCDMIPsReader(mips_file).read_mips(DataSourceParam())
-    tagged = [m for m in mips if "round1" in m.dataset_labels]
+    tagged = [m for m in mips if "round1" in m.tags]
     assert {m.published_name for m in tagged} == {"12191"}
 
     report = tmp_path / "errors.json"
