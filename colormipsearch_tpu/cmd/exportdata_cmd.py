@@ -158,31 +158,52 @@ def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
 
 
 def _export_cd_matches(args, by_target: bool) -> int:
+    """CD matches export. EM side groups per mask mip
+    (EMCDMatchesExporter); LM side groups per TARGET mip with the
+    match direction inverted — inputImage is the LM target, results
+    are the EM masks (LMCDMatchesExporter over readMatchesByTarget)."""
     from .backends import matches_reader
     reader = matches_reader(args.db, args.matchesDir)
     url_t, store_m, pub_urls = build_transformers(args)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
-    for mip_id in reader.list_match_locations([DataSourceParam()]):
-        matches = reader.read_matches_by_mask(DataSourceParam(mip_ids=[mip_id]))
+    if by_target:
+        locations = reader.list_target_locations([DataSourceParam()])
+    else:
+        locations = reader.list_match_locations([DataSourceParam()])
+    for mip_id in locations:
+        if by_target:
+            matches = reader.read_matches_by_target(
+                DataSourceParam(mip_ids=[mip_id]))
+        else:
+            matches = reader.read_matches_by_mask(
+                DataSourceParam(mip_ids=[mip_id]))
         selected = select_best_match_per_mip_pair(matches)
         if args.size > 0:
             selected = selected[:args.size]
         if not selected:
             continue
-        mask = selected[0].mask_image
-        mask_meta = neuron_metadata(mask, url_t, store_m, pub_urls)
-        missing = validate_export_metadata(mask_meta)
+
+        def input_of(m):
+            return m.matched_image if by_target else m.mask_image
+
+        def matched_of(m):
+            return m.mask_image if by_target else m.matched_image
+
+        input_meta = neuron_metadata(input_of(selected[0]), url_t, store_m,
+                                     pub_urls)
+        missing = validate_export_metadata(input_meta)
         if missing:
             LOG.warning("skipping export for %s: missing attrs %s",
                         mip_id, missing)
             continue
         results = []
         for m in selected:
-            image_meta = neuron_metadata(m.matched_image, url_t, store_m, pub_urls)
+            image_meta = neuron_metadata(matched_of(m), url_t, store_m,
+                                         pub_urls)
             if validate_export_metadata(image_meta):
-                LOG.warning("skipping match in %s: target missing attrs %s",
+                LOG.warning("skipping match in %s: missing attrs %s",
                             mip_id, validate_export_metadata(image_meta))
                 continue
             r = {"image": image_meta,
@@ -192,7 +213,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
             if m.match_files:
                 r["files"] = {t.name: v for t, v in m.match_files.items()}
             results.append(r)
-        doc = {"inputImage": mask_meta, "results": results}
+        doc = {"inputImage": input_meta, "results": results}
         with open(os.path.join(out_dir, f"{mip_id}.json"), "w") as f:
             json.dump(doc, f, indent=2)
         n += len(results)

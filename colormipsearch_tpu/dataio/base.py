@@ -162,6 +162,41 @@ class NeuronMatchesReader(abc.ABC):
                              ) -> List[CDMatchEntity]:
         ...
 
+    def list_target_locations(self, params: List[DataSourceParam]
+                              ) -> List[str]:
+        """Distinct matched (target) mip ids — the LM-side export axis
+        (NeuronMatchesReader.readMatchesByTarget callers). Default:
+        derive from a full by-mask read."""
+        mips = set()
+        for m in self.read_matches_by_mask(DataSourceParam()):
+            if m.matched_image is not None and m.matched_image.mip_id:
+                mips.add(m.matched_image.mip_id)
+        out = []
+        for p in params or [DataSourceParam()]:
+            if p.mip_ids:
+                out.extend(m for m in mips if m in set(p.mip_ids))
+            else:
+                out.extend(mips)
+        return sorted(set(out))
+
+    def read_matches_by_target(self, target_selector: DataSourceParam,
+                               mask_selector: Optional[DataSourceParam] = None,
+                               scores_filter: Optional[ScoresFilter] = None
+                               ) -> List[CDMatchEntity]:
+        """Matches whose matched (target) image satisfies the selector
+        (DBNeuronMatchesReader.readMatchesByTarget). Default: filter a
+        full by-mask read; DB backends override with indexed queries."""
+        matches = [m for m in self.read_matches_by_mask(
+                       DataSourceParam(),
+                       scores_filter=scores_filter)
+                   if m.matched_image is not None
+                   and target_selector.matches_entity(m.matched_image)]
+        if mask_selector is not None:
+            matches = [m for m in matches
+                       if m.mask_image is None
+                       or mask_selector.matches_entity(m.mask_image)]
+        return matches
+
 
 class NeuronMatchesWriter(abc.ABC):
     """dataio/NeuronMatchesWriter.java."""

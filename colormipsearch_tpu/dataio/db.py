@@ -330,6 +330,26 @@ class SqliteStore:
                 "WHERE n.mip_id IS NOT NULL").fetchall()
         return sorted(r[0] for r in rows)
 
+    def distinct_target_mip_ids_with_matches(self) -> List[str]:
+        """Distinct matched (target) mip ids — the LM-side export axis
+        (LMCDMatchesExporter / NeuronMatchesReader.listMatchesLocations
+        by target)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT DISTINCT n.mip_id FROM cd_matches c "
+                "JOIN neuron_metadata n ON n.entity_id = c.matched_ref "
+                "WHERE n.mip_id IS NOT NULL").fetchall()
+        return sorted(r[0] for r in rows)
+
+    def find_matches_by_matched_refs(self, matched_refs: Sequence[int]
+                                     ) -> List[CDMatchEntity]:
+        qs = ",".join("?" * len(matched_refs))
+        with self._lock:
+            rows = self._conn.execute(
+                f"SELECT doc FROM cd_matches WHERE matched_ref IN ({qs}) "
+                "ORDER BY matching_pixels DESC", list(matched_refs)).fetchall()
+        return [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+
     def delete_matches(self, mask_refs: Optional[Sequence[int]] = None,
                        max_pixels: Optional[int] = None) -> int:
         clauses, args = [], []
@@ -408,6 +428,35 @@ class DBNeuronMatchesReader(NeuronMatchesReader):
             matches = [m for m in matches
                        if m.matched_image is None
                        or target_selector.matches_entity(m.matched_image)]
+        if scores_filter is not None and not scores_filter.empty:
+            matches = [m for m in matches if scores_filter.matches(m)]
+        return matches
+
+    def list_target_locations(self, params: List[DataSourceParam]
+                              ) -> List[str]:
+        mips = self.store.distinct_target_mip_ids_with_matches()
+        out = []
+        for p in params or [DataSourceParam()]:
+            if p.mip_ids:
+                out.extend(m for m in mips if m in set(p.mip_ids))
+            else:
+                out.extend(mips)
+        return sorted(set(out))
+
+    def read_matches_by_target(self, target_selector: DataSourceParam,
+                               mask_selector=None, scores_filter=None
+                               ) -> List[CDMatchEntity]:
+        """Indexed matched-side read
+        (DBNeuronMatchesReader.readMatchesByTarget)."""
+        targets = self.store.find_neurons(target_selector)
+        refs = [e.entity_id for e in targets if e.entity_id is not None]
+        if not refs:
+            return []
+        matches = self.store.find_matches_by_matched_refs(refs)
+        if mask_selector is not None:
+            matches = [m for m in matches
+                       if m.mask_image is None
+                       or mask_selector.matches_entity(m.mask_image)]
         if scores_filter is not None and not scores_filter.empty:
             matches = [m for m in matches if scores_filter.matches(m)]
         return matches

@@ -264,6 +264,30 @@ class MongoStore:
             out.append(CDMatchEntity.from_dict(d))
         return out
 
+    def distinct_target_mip_ids_with_matches(self) -> List[str]:
+        refs = set(self.matches.distinct("matchedImageRefId"))
+        if not refs:
+            return []
+        mips = set()
+        for d in self.neurons.find({"_id": {"$in": sorted(refs)}}):
+            if d.get("mipId"):
+                mips.add(d["mipId"])
+        return sorted(mips)
+
+    def find_matches_by_matched_refs(self, matched_refs: Sequence[int]
+                                     ) -> List[CDMatchEntity]:
+        docs = list(self.matches.find(
+            {"matchedImageRefId": {"$in": list(matched_refs)}}))
+        docs.sort(key=lambda d: -(d.get("matchingPixels") or 0))
+        out = []
+        for d in docs:
+            d = dict(d)
+            d.pop("_id", None)
+            d.pop("maskImageRefId", None)
+            d.pop("matchedImageRefId", None)
+            out.append(CDMatchEntity.from_dict(d))
+        return out
+
     def distinct_mask_mip_ids_with_matches(self) -> List[str]:
         refs = set(self.matches.distinct("maskImageRefId"))
         if not refs:
