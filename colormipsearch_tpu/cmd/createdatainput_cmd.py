@@ -53,6 +53,12 @@ def add_parser(subparsers) -> None:
                    help="dir(s)/zip(s) with source CDM images")
     p.add_argument("--variant", action="append", default=[],
                    help="variant spec '<type>:<location>' (grad:…, zgap:…, searchable_neurons:…)")
+    p.add_argument("--included-published-names", nargs="*", default=[],
+                   help="only import these published names "
+                        "(CreateCDSDataInputCmd.java:150)")
+    p.add_argument("--excluded-neurons", nargs="*", default=[],
+                   help="skip these neuron names "
+                        "(CreateCDSDataInputCmd.java:162)")
     p.add_argument("--jacs-url", default=None)
     p.add_argument("--authorization", default=None)
     p.add_argument("--output-filename", default=None)
@@ -98,11 +104,20 @@ def run(args: argparse.Namespace) -> int:
     variant_indexes = {ftype: index_mip_stores(locs, em)
                        for ftype, locs in variant_locations.items()}
 
+    included = set(args.included_published_names or [])
+    excluded = set(args.excluded_neurons or [])
     entities = []
     for loc in args.cdm_location:
         for entry in list_store_images(loc):
             e = _entity_for_image(entry.entry_name, args, idgen)
             if e is None:
+                continue
+            # include/exclude filters
+            # (CreateCDSDataInputCmd.java:150,162,365-380)
+            if included and e.published_name not in included:
+                continue
+            if excluded and (e.published_name in excluded
+                             or (e.neuron_id or "") in excluded):
                 continue
             e.compute_files[ComputeFileType.SourceColorDepthImage] = entry.file_data()
             # default searchable image = the source CDM itself unless a
