@@ -119,3 +119,23 @@ def test_full_pipeline(workspace, fixtures_dir):
     assert exported["inputImage"]["publishedName"] == "12191"
     scores = [r["normalizedScore"] for r in exported["results"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_lm_export_inverted(workspace):
+    """LM_CD_MATCHES groups per LM target with the direction inverted
+    (LMCDMatchesExporter over readMatchesByTarget). Runs after
+    test_full_pipeline (module-scoped workspace already has scores)."""
+    ws = str(workspace)
+    per_mask = os.path.join(ws, "cdsresults", "masks")
+    export_dir = os.path.join(ws, "lm_export")
+    rc = main(["exportData", "--exported-result-type", "LM_CD_MATCHES",
+               "-md", per_mask, "-od", export_dir])
+    assert rc == 0
+    files = sorted(os.listdir(export_dir))
+    assert files == ["lm-0.json", "lm-1.json", "lm-2.json"]
+    with open(os.path.join(export_dir, "lm-0.json")) as f:
+        doc = json.load(f)
+    assert doc["inputImage"]["mipId"] == "lm-0"
+    assert doc["inputImage"]["type"] == "LMImage"
+    assert all(r["image"]["type"] == "EMImage" for r in doc["results"])
+    assert all(r["image"]["mipId"] == "em-12191" for r in doc["results"])
