@@ -45,6 +45,13 @@ def add_parser(subparsers) -> None:
     p.add_argument("--targetsPerBatch", type=int, default=16,
                    help="targets scored per device step")
     p.add_argument("--processing-tag", default=None)
+    p.add_argument("--masks-tags", nargs="*", default=[],
+                   help="only rescore masks carrying these tags "
+                        "(AbstractGradientScoresArgs.java mask selectors)")
+    p.add_argument("--masks-processing-tags", nargs="*", default=[],
+                   metavar="STAGE=TAG",
+                   help="only rescore masks stamped with these processing "
+                        "tags (AbstractGradientScoresArgs.java:58)")
     p.add_argument("--cancel-previous-gradient-scores", action="store_true")
     p.add_argument("--computeZGapOnTheFly", action="store_true",
                    help="derive missing ZGap variants by 10px dilation")
@@ -60,6 +67,15 @@ def run(args: argparse.Namespace) -> int:
     t_start = time.time()
     from .backends import matches_reader, matches_writer
     reader = matches_reader(args.db, args.matchesDir)
+    ptags = {}
+    for spec in getattr(args, "masks_processing_tags", []) or []:
+        stage, _, tag = spec.partition("=")
+        if tag:
+            ptags.setdefault(stage, set()).add(tag)
+    mask_selector = DataSourceParam(
+        mip_ids=args.masks_mip_ids or [],
+        tags=set(getattr(args, "masks_tags", []) or []),
+        processing_tags=ptags)
     selector = DataSourceParam(mip_ids=args.masks_mip_ids or [])
     mask_locations = reader.list_match_locations([selector])
     LOG.info("found %d masks with matches", len(mask_locations))
@@ -76,8 +92,11 @@ def run(args: argparse.Namespace) -> int:
     updated: List[CDMatchEntity] = []
     planes_cache: dict = {}
     for mip_id in mask_locations:
+        sel = DataSourceParam(mip_ids=[mip_id],
+                              tags=mask_selector.tags,
+                              processing_tags=mask_selector.processing_tags)
         matches = reader.read_matches_by_mask(
-            DataSourceParam(mip_ids=[mip_id]),
+            sel,
             scores_filter=None if scores_filter.empty else scores_filter)
         if not matches:
             continue
