@@ -157,9 +157,10 @@ def run(args: argparse.Namespace) -> int:
     import jax.numpy as jnp
     from ..parallel.sweep import local_pixel_sweep
 
+    multi = False
     if getattr(args, "jax_distributed", False):
         from ..parallel.multihost import maybe_init_distributed
-        maybe_init_distributed()
+        multi = maybe_init_distributed()
 
     t_start = time.time()
     masks = _read_mips(args.masks, args.masks_index, args.masks_length)
@@ -218,6 +219,12 @@ def run(args: argparse.Namespace) -> int:
     target_parts = partition_collection(targets, args.processingPartitionSize)
     ratio_threshold = (args.pctPositivePixels or 0.0) / 100.0
     engine_kind = _pick_engine(args.engine)
+    if multi and engine_kind == "pallas":
+        # the active-tile pallas kernel is single-device; the global-mesh
+        # path uses the dense kernel under shard_map (P2 semantics).
+        LOG.info("jax-distributed run: using the dense engine on the "
+                 "global mesh")
+        engine_kind = "dense"
     LOG.info("scoring engine: %s", engine_kind)
 
     # prepare query planes / engines once per mask (host side)
@@ -285,9 +292,23 @@ def run(args: argparse.Namespace) -> int:
                 yield s[None], m[None], [(mask, eng.tiles.query_size)]
         else:
             t0 = time.perf_counter()
+            n_t_real = t_stack.shape[0]
+            if multi:
+                # pad targets to the global target axis so every chip
+                # owns an equal shard
+                from ..parallel.multihost import global_pair_mesh
+                mesh = global_pair_mesh(mask_shards=1)
+                nt = mesh.devices.shape[1]
+                padt = (-n_t_real) % nt
+                if padt:
+                    t_stack = np.concatenate(
+                        [t_stack, np.repeat(t_stack[-1:], padt, axis=0)])
             t_padded, t_flipped = pack_targets(
                 jnp.asarray(t_stack), args.dataThreshold, pad)
             jax.block_until_ready((t_padded, t_flipped))
+            if multi:
+                t_padded = np.asarray(t_padded)
+                t_flipped = np.asarray(t_flipped)
             stage_totals["pack"] += time.perf_counter() - t0
             for mask_block in partition_collection(prepared, args.maskBatchSize):
                 t0 = time.perf_counter()
@@ -297,11 +318,32 @@ def run(args: argparse.Namespace) -> int:
                 padded_block = list(mask_block)
                 while len(padded_block) < args.maskBatchSize:
                     padded_block.append(mask_block[-1])
-                q_words = jnp.asarray(
-                    np.stack([qp.words for _, qp in padded_block]))
-                s, m = local_pixel_sweep(
-                    q_words, t_padded, t_flipped, shifts, zt9, args.mirrorMask)
-                s, m = np.asarray(s)[:n_real], np.asarray(m)[:n_real]
+                q_words_np = np.stack([qp.words for _, qp in padded_block])
+                if multi:
+                    # one jitted computation spanning every process's
+                    # devices (SURVEY.md 2d-P2: the Spark-cluster
+                    # replacement); scores gathered back to all hosts
+                    from jax.experimental import multihost_utils
+                    from jax.sharding import PartitionSpec as P
+                    from ..parallel.multihost import distribute
+                    from ..parallel.sweep import sharded_pixel_sweep
+                    s_g, m_g, _ = sharded_pixel_sweep(
+                        mesh,
+                        distribute(mesh, P("mask", None, None), q_words_np),
+                        distribute(mesh, P("target", None, None), t_padded),
+                        distribute(mesh, P("target", None, None), t_flipped),
+                        distribute(mesh, P(None, None), np.asarray(shifts)),
+                        zt9, args.mirrorMask)
+                    s = np.asarray(multihost_utils.process_allgather(
+                        s_g, tiled=True))[:n_real, :n_t_real]
+                    m = np.asarray(multihost_utils.process_allgather(
+                        m_g, tiled=True))[:n_real, :n_t_real]
+                else:
+                    q_words = jnp.asarray(q_words_np)
+                    s, m = local_pixel_sweep(
+                        q_words, t_padded, t_flipped, shifts, zt9,
+                        args.mirrorMask)
+                    s, m = np.asarray(s)[:n_real], np.asarray(m)[:n_real]
                 stage_totals["score"] += time.perf_counter() - t0
                 yield (s, m,
                        [(mask, qp.query_size) for mask, qp in mask_block])
@@ -314,6 +356,10 @@ def run(args: argparse.Namespace) -> int:
 
     def maybe_flush():
         nonlocal flushed
+        if multi:
+            import jax
+            if jax.process_index() != 0:
+                return  # one writer per fleet (reference: driver writes)
         if args.db and args.write_batch_size > 0 \
                 and len(all_matches) - flushed >= args.write_batch_size:
             from .backends import matches_writer
@@ -352,6 +398,13 @@ def run(args: argparse.Namespace) -> int:
         maybe_flush()
 
     n_groups = 0
+    if multi:
+        import jax
+        if jax.process_index() != 0:
+            LOG.info("process %d: results written by process 0",
+                     jax.process_index())
+            args = argparse.Namespace(**{**vars(args), "db": None,
+                                         "output_dir": None})
     if args.db or args.output_dir:
         import os
         from .backends import matches_writer
