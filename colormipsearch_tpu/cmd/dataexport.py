@@ -128,6 +128,32 @@ def load_published_urls(path: str) -> Dict[str, Dict[str, str]]:
     return out
 
 
+def load_published_lm_stacks(path: str) -> Dict[str, Dict[str, str]]:
+    """Published LM image stacks keyed by slideCode (or mipId): records
+    {"slideCode"|"id": ..., "files": {"VisuallyLosslessStack": url,
+    "Gal4Expression": url}} — the publishedLMImages collection analogue
+    (model/PublishedLMImage.java; applied at
+    ColorDepthMIP.updateLMNeuron:220-221)."""
+    import json
+    with open(path) as f:
+        docs = json.load(f)
+    out = {}
+    for d in docs:
+        key = d.get("slideCode") or d.get("id")
+        if key is not None:
+            out[str(key)] = d.get("files") or {}
+    return out
+
+
+def apply_published_lm_stacks(files: Dict[str, str],
+                              stacks: Mapping[str, str]) -> Dict[str, str]:
+    out = dict(files)
+    for ft in ("VisuallyLosslessStack", "Gal4Expression"):
+        if stacks.get(ft):
+            out[ft] = stacks[ft]
+    return out
+
+
 def parse_file_type_indexes(pairs) -> Dict[str, URLTransformerParams]:
     """--relative-url-indexes-by-filetype values: FileType=index[,nonhttp]."""
     out: Dict[str, URLTransformerParams] = {}

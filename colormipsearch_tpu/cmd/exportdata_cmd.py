@@ -57,6 +57,10 @@ def add_parser(subparsers) -> None:
                         "shape: [{id, uploaded:{cdm, cdm_thumbnail, ...}}]); "
                         "merged into exported files maps "
                         "(ColorDepthMIP.updateEMNeuron/updateLMNeuron)")
+    p.add_argument("--published-lm-stacks", default=None,
+                   help="published LM stacks JSON keyed by slideCode "
+                        "(publishedLMImages analogue; sets "
+                        "VisuallyLosslessStack / Gal4Expression)")
     p.add_argument("--size", type=int, default=-1,
                    help="cap matches per mask")
     p.set_defaults(func=run)
@@ -67,7 +71,8 @@ REQUIRED_EXPORT_ATTRS = ("mipId", "libraryName", "publishedName",
 
 
 def neuron_metadata(e: NeuronEntity, url_transformer=None,
-                    image_store_mapping=None, published_urls=None) -> Dict:
+                    image_store_mapping=None, published_urls=None,
+                    published_lm_stacks=None) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
     dto/AbstractNeuronMetadata.java:43-61). When transformers are given,
     file URLs are relativized per FileType and the FileType.store entry
@@ -99,6 +104,13 @@ def neuron_metadata(e: NeuronEntity, url_transformer=None,
         if uploaded:
             files = apply_published_urls(
                 files, uploaded, type(e).__name__.startswith("EM"))
+    if published_lm_stacks and not type(e).__name__.startswith("EM"):
+        from .dataexport import apply_published_lm_stacks
+        stacks = published_lm_stacks.get(
+            str(getattr(e, "slide_code", None) or "")) \
+            or published_lm_stacks.get(e.mip_id or "")
+        if stacks:
+            files = apply_published_lm_stacks(files, stacks)
     if image_store_mapping is not None:
         files["store"] = image_store_mapping.get_image_store(
             e.alignment_space, e.library_name)
@@ -128,7 +140,11 @@ def build_transformers(args):
     urls = None
     if getattr(args, "published_urls", None):
         urls = load_published_urls(args.published_urls)
-    return url_t, store_m, urls
+    lm_stacks = None
+    if getattr(args, "published_lm_stacks", None):
+        from .dataexport import load_published_lm_stacks
+        lm_stacks = load_published_lm_stacks(args.published_lm_stacks)
+    return url_t, store_m, urls, lm_stacks
 
 
 def validate_export_metadata(d: Dict) -> List[str]:
@@ -164,7 +180,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
     are the EM masks (LMCDMatchesExporter over readMatchesByTarget)."""
     from .backends import matches_reader
     reader = matches_reader(args.db, args.matchesDir)
-    url_t, store_m, pub_urls = build_transformers(args)
+    url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     n = 0
@@ -192,7 +208,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
             return m.mask_image if by_target else m.matched_image
 
         input_meta = neuron_metadata(input_of(selected[0]), url_t, store_m,
-                                     pub_urls)
+                                     pub_urls, lm_stacks)
         missing = validate_export_metadata(input_meta)
         if missing:
             LOG.warning("skipping export for %s: missing attrs %s",
@@ -201,7 +217,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
         results = []
         for m in selected:
             image_meta = neuron_metadata(matched_of(m), url_t, store_m,
-                                         pub_urls)
+                                         pub_urls, lm_stacks)
             if validate_export_metadata(image_meta):
                 LOG.warning("skipping match in %s: missing attrs %s",
                             mip_id, validate_export_metadata(image_meta))
@@ -224,7 +240,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
 def _export_mips(args) -> int:
     from ..dataio import JSONCDMIPsReader
     reader = JSONCDMIPsReader(args.mips_file)
-    url_t, store_m, pub_urls = build_transformers(args)
+    url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
     entities = reader.read_mips(DataSourceParam())
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
@@ -232,7 +248,7 @@ def _export_mips(args) -> int:
     for e in entities:
         by_name.setdefault(e.published_name or "unknown", []).append(e)
     for name, group in by_name.items():
-        doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls)
+        doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls, lm_stacks)
                            for e in group]}
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(doc, f, indent=2)

@@ -88,7 +88,7 @@ def test_export_applies_store_and_urls(tmp_path):
         default_image_store="fl_light",
         image_stores_per_neuron_meta=[
             "JRC2018_Unisex_20x_HR:flyem_hemibrain=em_store"])
-    url_t, store_m, _ = build_transformers(args)
+    url_t, store_m, _, _ = build_transformers(args)
     d = neuron_metadata(e, url_t, store_m)
     assert d["files"]["store"] == "em_store"
     assert d["files"]["CDMThumbnail"] == "thumb/7.jpg"
@@ -113,3 +113,26 @@ def test_published_urls_merge(tmp_path):
     lm_files = apply_published_urls({}, urls["42"], is_em=False)
     assert "AlignedBodySWC" not in lm_files
     assert lm_files["CDMThumbnail"].endswith("thumb/42.jpg")
+
+
+def test_published_lm_stacks(tmp_path):
+    import json
+    from colormipsearch_tpu.cmd.exportdata_cmd import neuron_metadata
+    from colormipsearch_tpu.cmd.dataexport import load_published_lm_stacks
+    from colormipsearch_tpu.model import LMNeuronEntity, EMNeuronEntity
+    f = tmp_path / "stacks.json"
+    json.dump([{"slideCode": "20200101_31_A1", "files": {
+        "VisuallyLosslessStack": "https://s3/x/stack.h5j",
+        "Gal4Expression": "https://s3/x/gal4.png"}}], open(f, "w"))
+    stacks = load_published_lm_stacks(str(f))
+    lm = LMNeuronEntity(mip_id="lm-9", slide_code="20200101_31_A1",
+                        alignment_space="a", library_name="l",
+                        published_name="p")
+    d = neuron_metadata(lm, published_lm_stacks=stacks)
+    assert d["files"]["VisuallyLosslessStack"] == "https://s3/x/stack.h5j"
+    assert d["files"]["Gal4Expression"] == "https://s3/x/gal4.png"
+    # EM neurons never get LM stacks
+    em = EMNeuronEntity(mip_id="em-9", alignment_space="a",
+                        library_name="l", published_name="p")
+    d2 = neuron_metadata(em, published_lm_stacks=stacks)
+    assert "files" not in d2 or "VisuallyLosslessStack" not in d2["files"]
