@@ -322,6 +322,11 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
             for vi, (dx, dy) in enumerate(shifts):
                 r0, c0 = TILE_H + dy, TILE_W + dx
                 if tg == 1:
+                    # NB: a per-variant @pl.when empty-slice skip was
+                    # measured at 1,957 pairs/s vs 4,165 without — 18
+                    # scalar branches per target stall the vector
+                    # pipeline far more than the skipped multiplies
+                    # cost. Signal skips stay at window granularity.
                     w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
                     m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
                     acc[g0, base_vi + vi, :] += m.sum(axis=0)
