@@ -78,6 +78,11 @@ def add_parser(subparsers) -> None:
                         "(CMS_COORDINATOR/CMS_NUM_PROCESSES/CMS_PROCESS_ID) "
                         "so sweeps run on the GLOBAL device mesh instead "
                         "of per-process blocks")
+    p.add_argument("--cdsConcurrency", type=int, default=0,
+                   help="host decode-pool threads (0 = default 8; the "
+                        "reference's compute concurrency knob, "
+                        "CmdUtils.java:17-40 — compute itself runs on "
+                        "the device here)")
     p.add_argument("--engine", choices=("auto", "dense", "pallas"),
                    default="auto",
                    help="scoring engine: active-tile Pallas kernel on TPU, "
@@ -370,7 +375,8 @@ def run(args: argparse.Namespace) -> int:
 
     for part in target_parts:
         t0 = time.perf_counter()
-        t_imgs, t_entities = _load_target_images(part, cache)
+        t_imgs, t_entities = _load_target_images(
+            part, cache, workers=args.cdsConcurrency or 8)
         stage_totals["decode"] += time.perf_counter() - t0
         if not t_imgs:
             continue
