@@ -129,3 +129,44 @@ def test_mesh_edge_shapes(fixtures_dir):
         mesh = make_pair_mesh(shape=shape)
         s, _, _ = sharded_pixel_sweep(mesh, q_words, tp, tf, shifts, zt9, True)
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
+
+
+def test_sharded_shape_scores_equal_local(fixtures_dir):
+    """Shape re-ranking sharded over 8 target shards == single-device
+    scores, and the cross-chip pmin matches the global minimum."""
+    from colormipsearch_tpu.parallel.sweep import sharded_shape_scores
+    from colormipsearch_tpu.cds.shape_kernel import shape_score_kernel
+    from colormipsearch_tpu.cds.shape_oracle import (
+        build_query_shape_planes, build_target_shape_planes)
+
+    rng = np.random.default_rng(13)
+    h, w = 40, 96
+    tsz = 8
+    q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    q[rng.random((h, w)) < 0.5] = 0
+    qp = build_query_shape_planes(image_from_array(q), None)
+
+    tplanes = []
+    for _ in range(tsz):
+        t = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        t[rng.random((h, w)) < 0.5] = 0
+        grad16 = rng.integers(0, 300, size=(h, w)).astype(np.uint16)
+        tplanes.append(build_target_shape_planes(
+            image_from_array(t), image_from_array(grad16), None, 20, None))
+
+    args = (jnp.asarray(qp.q_nonzero), jnp.asarray(qp.q_slice),
+            jnp.asarray(qp.q_mask), jnp.asarray(qp.high_expr),
+            jnp.asarray(np.stack([t.grad for t in tplanes])),
+            jnp.asarray(np.stack([t.z_nonzero for t in tplanes])),
+            jnp.asarray(np.stack([t.z_slice for t in tplanes])),
+            jnp.asarray(np.stack([t.t_above for t in tplanes])))
+
+    gaps_id, high_id, gaps_m, high_m = shape_score_kernel(*args, mirror=True)
+    score_id = np.asarray(gaps_id).sum(1) + np.asarray(high_id).sum(1) // 3
+    score_m = np.asarray(gaps_m).sum(1) + np.asarray(high_m).sum(1) // 3
+    expected = np.minimum(score_id, score_m)
+
+    mesh = make_pair_mesh(shape=(1, 8))
+    score, use_m, best_global = sharded_shape_scores(mesh, *args, mirror=True)
+    np.testing.assert_array_equal(np.asarray(score), expected)
+    assert int(np.asarray(best_global)[0]) == int(expected.min())
