@@ -68,3 +68,37 @@ def test_fast_predicate_equals_general():
         got = np.asarray(_match_unpacked_fast(q, t, zt9))
         want = np.asarray(_match_unpacked(q, t, zt9))
         np.testing.assert_array_equal(got, want), zt9
+
+
+def test_gate_fallback_general_predicate(fixtures_dir):
+    """pixColorFluctuation above the packing gate (zt9 > 54e6) must use
+    the general two-chain predicate; dense kernel == f64 oracle."""
+    import jax.numpy as jnp
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.oracle import (PixelMatchOracle,
+                                               shift_ring_offsets)
+    from colormipsearch_tpu.cds.pixel_kernel import (
+        prepare_query_planes, pack_targets, pixel_match_packed,
+        z_tolerance_to_zt9)
+    from colormipsearch_tpu.cds.pixel_pallas import _PACK_ZT9_MAX
+
+    fluct = 10.0
+    zt9 = z_tolerance_to_zt9(fluct)
+    assert zt9 > _PACK_ZT9_MAX  # exercises the fallback
+
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    target = load_image(
+        fixtures_dir / "lms" /
+        "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif")
+
+    oracle = PixelMatchOracle(query, 20, True, 20, fluct / 100.0, 2,
+                              excluded)
+    want = oracle.score(target)
+
+    qp = prepare_query_planes(query, 20, excluded)
+    tp, tf = pack_targets(jnp.asarray(target.pixels[None]), 20, 2)
+    shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), dtype=np.int32))
+    s, m = pixel_match_packed(jnp.asarray(qp.words[None]), tp, tf, shifts,
+                              zt9=zt9, mirror=True)
+    assert int(np.asarray(s)[0, 0]) == want.matching_pixels
