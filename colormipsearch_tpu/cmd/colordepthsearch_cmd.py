@@ -147,13 +147,25 @@ def _load_target_images(targets, cache: MIPsCache, workers: int = 8):
         return t, cache.load_mip(t, ComputeFileType.InputColorDepthImage)
 
     loaded, entities = [], []
+    shape = None
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for t, mip in pool.map(load, targets):
             if mip.image is None:
                 LOG.warning("no input image for target %s", t.mip_id)
                 continue
-            loaded.append(mip.image.pixels if mip.image.pixels.ndim == 3
-                          else np.repeat(mip.image.pixels[..., None], 3, axis=2))
+            px = (mip.image.pixels if mip.image.pixels.ndim == 3
+                  else np.repeat(mip.image.pixels[..., None], 3, axis=2))
+            # one bad-sized image must not kill the partition (the
+            # reference catches per-pair exceptions,
+            # AbstractColorMIPSearchProcessor.java:80-83; here size
+            # mismatches surface at batch-stack time, so filter them)
+            if shape is None:
+                shape = px.shape
+            elif px.shape != shape:
+                LOG.warning("target %s has size %s, expected %s — skipped",
+                            t.mip_id, px.shape, shape)
+                continue
+            loaded.append(px)
             entities.append(t)
     return loaded, entities
 

@@ -58,3 +58,50 @@ def test_corrupt_and_missing_images_are_skipped(tmp_path, fixtures_dir):
     assert "lm-ok" in mips
     assert "lm-missing" not in mips
     assert "lm-corrupt" not in mips
+
+
+def test_mismatched_target_size_is_skipped(tmp_path, fixtures_dir):
+    """A target whose CDM has different dimensions is skipped with a
+    warning instead of crashing the whole partition stack."""
+    import numpy as np
+    from PIL import Image as PILImage
+    small = tmp_path / "small.png"
+    PILImage.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 64, 3),
+                                          dtype=np.uint8).astype(np.uint8)
+    ).save(small)
+
+    em = EMNeuronEntity(entity_id=1, mip_id="em-ok", library_name="l",
+                        alignment_space="JRC", published_name="1")
+    em.compute_files[ComputeFileType.InputColorDepthImage] = \
+        FileData.from_string(str(fixtures_dir / "ems" / "12191_JRC2018U.tif"))
+    lm_ok = LMNeuronEntity(entity_id=2, mip_id="lm-ok", library_name="l",
+                           alignment_space="JRC", published_name="a")
+    lm_ok.compute_files[ComputeFileType.InputColorDepthImage] = \
+        FileData.from_string(str(
+            fixtures_dir / "lms" /
+            "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif"))
+    lm_small = LMNeuronEntity(entity_id=3, mip_id="lm-small",
+                              library_name="l", alignment_space="JRC",
+                              published_name="b")
+    lm_small.compute_files[ComputeFileType.InputColorDepthImage] = \
+        FileData.from_string(str(small))
+
+    ws = str(tmp_path)
+    for fname, ents in (("masks.json", [em]),
+                        ("targets.json", [lm_ok, lm_small])):
+        w = JSONCDMIPsWriter(os.path.join(ws, fname))
+        w.open()
+        w.write(ents)
+        w.close()
+
+    rc = main(["colorDepthSearch", "-m", os.path.join(ws, "masks.json"),
+               "-i", os.path.join(ws, "targets.json"),
+               "--maskThreshold", "20", "--dataThreshold", "20",
+               "--pixColorFluctuation", "1", "--xyShift", "2",
+               "--mirrorMask", "-od", os.path.join(ws, "out")])
+    assert rc == 0
+    with open(os.path.join(ws, "out", "masks", "em-ok.json")) as f:
+        doc = json.load(f)
+    mips = {r["image"]["mipId"] for r in doc["results"]}
+    assert mips == {"lm-ok"}
