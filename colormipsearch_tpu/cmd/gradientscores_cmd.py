@@ -197,12 +197,23 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     the mirrored-orientation plane set for the ROI-mask case."""
     tplanes = []
     scored_matches = []
+    want_shape = qplanes.q_nonzero.shape
     for m in part:
         planes = _target_planes_cached(m.matched_image, cache, args,
                                        excluded, planes_cache)
         if planes is None:
             # no negative score possible
             # (Shape2DMatchColorDepthSearchAlgorithm.java:155-158)
+            m.gradient_area_gap = -1
+            m.high_expression_area = -1
+            continue
+        if tuple(planes.grad.shape) != tuple(want_shape):
+            # size mismatch vs the mask frame: skip rather than crash
+            # the whole batch stack (per-pair failure isolation)
+            LOG.warning("target %s planes %s mismatch mask frame %s — "
+                        "skipped",
+                        m.matched_image.mip_id if m.matched_image else "?",
+                        tuple(planes.grad.shape), tuple(want_shape))
             m.gradient_area_gap = -1
             m.high_expression_area = -1
             continue
