@@ -50,6 +50,12 @@ def _attach_screenshots(match, screenshots_dir: str) -> None:
             ft = FileType.find_by_ppp_suffix(name)
             if ft is not None:
                 match.match_files[ft] = name
+                if ft is FileType.CDMBest:
+                    # a CH screenshot also publishes its thumbnail ref
+                    # (PPPScreenshotType.CH -> CDMBest + CDMBestThumbnail,
+                    # model/PPPScreenshotType.java:9)
+                    match.match_files[FileType.CDMBestThumbnail] = \
+                        name.replace(".png", ".jpg")
 
 
 def run(args: argparse.Namespace) -> int:
