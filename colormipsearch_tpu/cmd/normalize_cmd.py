@@ -28,6 +28,9 @@ def add_parser(subparsers) -> None:
         p.add_argument("-md", "--matchesDir", default=None)
         p.add_argument("--db", default=None)
         p.add_argument("--masks-mip-ids", nargs="*", default=None)
+        p.add_argument("--masks-libraries", nargs="*", default=[])
+        p.add_argument("--masks-published-names", nargs="*", default=[])
+        p.add_argument("--alignment-space", "-as", default=None)
         p.add_argument("--pctPositivePixels", type=float, default=0.0)
         p.add_argument("--processing-tag", default=None)
         p.set_defaults(func=run)
@@ -40,7 +43,11 @@ def run(args: argparse.Namespace) -> int:
     mask_locations = reader.list_match_locations([selector])
     n = 0
     for mip_id in mask_locations:
-        matches = reader.read_matches_by_mask(DataSourceParam(mip_ids=[mip_id]))
+        matches = reader.read_matches_by_mask(DataSourceParam(
+            mip_ids=[mip_id],
+            libraries=list(getattr(args, "masks_libraries", []) or []),
+            names=list(getattr(args, "masks_published_names", []) or []),
+            alignment_space=getattr(args, "alignment_space", None)))
         if not matches:
             continue
         # filter matches that have a shape score
