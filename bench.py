@@ -80,6 +80,51 @@ def _bench_shape():
     }
 
 
+def _bench_prescreen():
+    """Config 3: MXU prescreen bound-pass rate — (mask, target) pairs
+    bounded per second (target features on device + host bound matmul),
+    the first phase of the production two-phase exact search."""
+    import time
+    import jax
+    import numpy as np
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
+    from colormipsearch_tpu.cds.prescreen import PairPrescreen
+    from colormipsearch_tpu.cds.pixel_kernel import (prepare_query_planes,
+                                                     z_tolerance_to_zt9)
+
+    lms = sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
+    query = load_image(os.path.join(_FIXTURES, "ems", "12191_JRC2018U.tif"))
+    excluded = label_regions_mask(query.height, query.width)
+    engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded)
+    B, T = 64, 256
+    base = np.stack([load_image(os.path.join(_FIXTURES, "lms", n)).pixels
+                     for n in lms])
+    targets = np.tile(base, (T // len(base) + 1, 1, 1, 1))[:T]
+    words = engine.pack_raw_words(targets)
+    jax.block_until_ready(words)
+    flipped = words[:, :, ::-1]
+
+    screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2,
+                           engine.tiles.height, engine.tiles.width)
+    u = np.broadcast_to(screen.query_features(engine.planes.words)[None],
+                        (B, screen.query_features(engine.planes.words).shape[0])).copy()
+    tfeats = screen.target_features(words, flipped)  # warm compile
+    screen.bounds(u, tfeats)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tfeats = screen.target_features(words, flipped)
+        screen.bounds(u, tfeats)
+        best = max(best, B * T / (time.perf_counter() - t0))
+    return {
+        "metric": "MXU prescreen bound pairs/s/chip (64 masks x 256 targets, prod config)",
+        "value": round(best, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -88,6 +133,9 @@ def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "pixel"
     if config == "shape":
         print(json.dumps(_bench_shape()))
+        return
+    if config == "prescreen":
+        print(json.dumps(_bench_prescreen()))
         return
     from colormipsearch_tpu.imageproc import load_image, label_regions_mask
     from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
