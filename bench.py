@@ -12,6 +12,10 @@ pairs/s per whole grid node. vs_baseline compares ONE TPU chip against
 that whole reference node.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Configs (argv[1]): default "pixel" (the driver-facing headline: exact
+pixel-match sweep), "shape" (gradient re-rank kernel rate), "prescreen"
+(MXU bound-pass rate, phase 1 of the two-phase exact search).
 """
 
 import json
