@@ -72,7 +72,16 @@ class SqliteStore:
         self.path = path
         if path != ":memory:":
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn = sqlite3.connect(path, check_same_thread=False,
+                                     timeout=60.0)
+        if path != ":memory:":
+            # grid blocks share one store (run_full_precompute.sh):
+            # WAL + busy timeout let concurrent block processes write
+            # without "database is locked" failures (the reference's
+            # concurrency is mediated by Mongo; this is the embedded
+            # equivalent)
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute("PRAGMA busy_timeout=60000")
         self._conn.executescript(_SCHEMA)
         self._lock = threading.Lock()
         self.id_generator = TimebasedIdGenerator()
