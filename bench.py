@@ -101,7 +101,8 @@ def _bench_prescreen():
     query = load_image(os.path.join(_FIXTURES, "ems", "12191_JRC2018U.tif"))
     excluded = label_regions_mask(query.height, query.width)
     engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded)
-    B, T = 64, 256
+    B = int(os.environ.get("CMS_PRESCREEN_B", "64"))
+    T = 256
     base = np.stack([load_image(os.path.join(_FIXTURES, "lms", n)).pixels
                      for n in lms])
     targets = np.tile(base, (T // len(base) + 1, 1, 1, 1))[:T]
@@ -122,7 +123,7 @@ def _bench_prescreen():
         screen.bounds(u, tfeats)
         best = max(best, B * T / (time.perf_counter() - t0))
     return {
-        "metric": "MXU prescreen bound pairs/s/chip (64 masks x 256 targets, prod config)",
+        "metric": f"MXU prescreen bound pairs/s/chip ({B} masks x {T} targets, prod config)",
         "value": round(best, 1),
         "unit": "pairs/s",
         "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
