@@ -268,10 +268,14 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
     nv = 2 * n_shifts
     assert nv <= NV_PAD
 
-    def kernel(coords_ref, surv_ref, q_ref, t_hbm, tf_hbm, out_ref,
+    def kernel(coords_ref, surv_ref, blk_ref, q_ref, t_hbm, tf_hbm, out_ref,
                acc, win_d, win_m, sems):
         t = pl.program_id(0)
         k = pl.program_id(1)
+        # block-level gate: a target block with NO survivor (e.g. the
+        # padding tail of a compacted chunk) skips window DMA and the
+        # whole body — its cost collapses to the scalar grid step
+        alive = blk_ref[t] > 0
 
         def window_copies(slot, kk):
             ty = pl.multiple_of(coords_ref[kk, 0], TILE_H)
@@ -300,13 +304,16 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
         @pl.when(k == 0)
         def _():
             acc[...] = jnp.zeros((tb, NV_PAD, TILE_W), dtype=jnp.int32)
+
+        @pl.when(alive & (k == 0))
+        def _():
             start_window(0, 0)
 
-        @pl.when(k + 1 < n_act)
+        @pl.when(alive & (k + 1 < n_act))
         def _():
             start_window(1 - slot, k + 1)
 
-        @pl.when(k < n_act)
+        @pl.when(alive & (k < n_act))
         def _():
             wait_window(slot, k)
 
@@ -360,7 +367,7 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
 
             return 0
 
-        @pl.when(k < n_act)
+        @pl.when(alive & (k < n_act))
         def _():
             jax.lax.fori_loop(0, tb // tg, target_body, 0)
 
@@ -383,17 +390,18 @@ def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb, tg)
 
+    blk = survivors.reshape(tsz // tb, tb).max(axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tsz // tb, n_k),
         in_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c, s: (k, 0, 0),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c, s, b: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
-                               lambda t, k, c, s: (t, 0, 0),
+                               lambda t, k, c, s, b: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
@@ -407,7 +415,7 @@ def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tsz, NV_PAD, TILE_W), jnp.int32),
         interpret=interpret,
-    )(coords, survivors, q_tiles, t_padded, t_flipped)
+    )(coords, survivors, blk, q_tiles, t_padded, t_flipped)
     return lane_sums.sum(axis=2)[:, :nv]  # [T, nv]
 
 
@@ -440,6 +448,7 @@ class ActiveTilePixelEngine:
         import os as _os
         self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "1"))
         self.tiles = build_active_tiles(self.planes, self.pad)
+        self._dev_query = None
 
     def pack_raw_words(self, targets_u8: np.ndarray):
         """Device-packed [T, H, W] scorer words (unpadded frame); also
@@ -473,50 +482,115 @@ class ActiveTilePixelEngine:
         """Pack targets into the tile-aligned padded frame (+ x-flip)."""
         return self.pad_from_words(self.pack_raw_words(targets_u8))
 
-    def score_packed(self, packed, survivors=None
-                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """survivors: optional uint8/int32 [T] bitmap from the MXU
-        prescreen; zero entries skip the exact sweep (their scores are
-        reported as 0, which is correct for any pair the screen's upper
-        bound already placed below the keep threshold)."""
-        t_padded, t_flipped = packed
+    def _query_dev(self):
+        """Device-cached (coords, q_tiles) — uploaded once per engine."""
+        if self._dev_query is None:
+            self._dev_query = (jnp.asarray(self.tiles.coords),
+                               jnp.asarray(self.tiles.q_tiles))
+        return self._dev_query
+
+    def _call_kernel(self, t_padded, t_flipped, surv):
+        """Raw per-variant sums [tsz, 2*S] for one packed block (DEVICE
+        array — caller converts; keeping it deferred lets a mask sweep
+        queue many kernel launches without a host sync per mask)."""
         tsz = t_padded.shape[0]
         tb = self.target_block
         while tsz % tb:
             tb //= 2  # fall back to a divisor (tsz padded to tb upstream)
-        if survivors is None:
-            surv = jnp.ones((tsz,), jnp.int32)
-        else:
-            surv = jnp.asarray(np.asarray(survivors).astype(np.int32))
         tb = max(tb, 1)
         tg = self.target_group
         while tb % tg:
             tg //= 2
-        out = _active_tile_call(
-            jnp.asarray(self.tiles.coords), surv,
-            jnp.asarray(self.tiles.q_tiles),
+        coords, q_tiles = self._query_dev()
+        return _active_tile_call(
+            coords, surv, q_tiles,
             t_padded, t_flipped, self.zt9, self.pad, self.shifts,
             tb, max(tg, 1), self.interpret)
-        out = np.asarray(out)  # [T, 2*S]
-        if survivors is not None:
-            # the in-kernel skip is group-granular (target_group); zero
-            # non-survivor rows here so the reported scores match the
-            # per-target contract exactly
-            out = out * np.asarray(survivors).astype(np.int64)[:, None]
+
+    # survivor-compaction chunk: ONE extra static kernel shape (tsz=128)
+    # shared by every mask/partition, per the one-compile-per-shape
+    # discipline (remote TPU compiles are minutes and uncached across
+    # processes — see ROADMAP)
+    COMPACT_CHUNK = 128
+
+    def score_packed_deferred(self, packed, survivors=None):
+        """Launch the exact sweep and return a finish() closure.
+
+        survivors: optional uint8/int32 [T] bitmap from the MXU
+        prescreen; zero entries skip the exact sweep (their scores are
+        reported as 0, which is correct for any pair the screen's upper
+        bound already placed below the keep threshold).
+
+        When the screen kills most of the block, the surviving targets
+        are COMPACTED: gathered on device into fixed chunks whose dead
+        padding blocks skip even the window DMA, so the kernel's cost is
+        paid per survivor, not per target. All device work is queued
+        before finish() syncs — a mask sweep can launch every mask's
+        scoring and drain results afterwards (one round-trip, not B)."""
+        t_padded, t_flipped = packed
+        tsz = t_padded.shape[0]
         n = len(self.shifts)
-        direct = out[:, :n].max(axis=1)
-        if self.mirror_query:
-            mirror = out[:, n:].max(axis=1)
-            best = np.maximum(direct, mirror)
-            mirrored = mirror > direct
+        pending = []  # (dest_idx or None, device_out, n_real)
+        surv_np = None
+        if survivors is None:
+            pending.append((None, self._call_kernel(
+                t_padded, t_flipped, jnp.ones((tsz,), jnp.int32)), tsz))
         else:
-            best = direct
-            mirrored = np.zeros_like(direct, dtype=bool)
-        if self.tiles.query_size == 0:
-            z = np.zeros_like(best)
-            return z, np.zeros_like(best, dtype=np.float64), mirrored
-        ratios = best.astype(np.float64) / float(self.tiles.query_size)
-        return best.astype(np.int64), ratios, mirrored
+            surv_np = np.asarray(survivors).astype(np.int32)
+            idx = np.nonzero(surv_np)[0]
+            ns = len(idx)
+            ck = self.COMPACT_CHUNK
+            if ns == 0:
+                pass
+            elif ns <= tsz // 4 and tsz > ck:
+                padded_n = -(-ns // ck) * ck
+                idx_pad = np.zeros(padded_n, dtype=np.int32)
+                idx_pad[:ns] = idx
+                for c0 in range(0, padded_n, ck):
+                    chunk = jnp.asarray(idx_pad[c0:c0 + ck])
+                    tp_c = jnp.take(t_padded, chunk, axis=0)
+                    tf_c = jnp.take(t_flipped, chunk, axis=0)
+                    surv_c = np.zeros(ck, dtype=np.int32)
+                    surv_c[:max(ns - c0, 0)] = 1
+                    oc = self._call_kernel(tp_c, tf_c, jnp.asarray(surv_c))
+                    real = min(ck, ns - c0)
+                    pending.append((idx_pad[c0:c0 + real], oc, real))
+            else:
+                pending.append((None, self._call_kernel(
+                    t_padded, t_flipped, jnp.asarray(surv_np)), tsz))
+
+        def finish() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+            out = np.zeros((tsz, 2 * n), dtype=np.int64)
+            for dest, dev, real in pending:
+                host = np.asarray(dev)
+                if dest is None:
+                    out[:] = host
+                else:
+                    out[dest] = host[:real]
+            if surv_np is not None:
+                # the in-kernel skip is group-granular (target_group);
+                # zero non-survivor rows so the reported scores match
+                # the per-target contract exactly
+                out = out * surv_np.astype(np.int64)[:, None]
+            direct = out[:, :n].max(axis=1)
+            if self.mirror_query:
+                mirror = out[:, n:].max(axis=1)
+                best = np.maximum(direct, mirror)
+                mirrored = mirror > direct
+            else:
+                best = direct
+                mirrored = np.zeros_like(direct, dtype=bool)
+            if self.tiles.query_size == 0:
+                z = np.zeros_like(best)
+                return z, np.zeros_like(best, dtype=np.float64), mirrored
+            ratios = best.astype(np.float64) / float(self.tiles.query_size)
+            return best.astype(np.int64), ratios, mirrored
+
+        return finish
+
+    def score_packed(self, packed, survivors=None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.score_packed_deferred(packed, survivors)()
 
     def score_batch(self, targets_u8: np.ndarray):
         return self.score_packed(self.prepare_targets(targets_u8))

@@ -164,27 +164,42 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
     return w01.astype(jnp.float32).reshape(tsz, -1)
 
 
+@jax.jit
+def _bounds_matmul(u, wd, wm):
+    # HIGHEST precision keeps the f32 matmul exact for these integer-
+    # valued inputs (tile-bin counts <= 1024, 0/1 weights; every partial
+    # sum < 2^24): the bound must never round BELOW the true value or a
+    # matching pair could be wrongly screened out.
+    hp = jax.lax.Precision.HIGHEST
+    bd = jnp.matmul(u, wd.T, precision=hp)
+    bm = jnp.matmul(u, wm.T, precision=hp)
+    return jnp.maximum(bd, bm)
+
+
 class PairPrescreen:
     """Block-level screen: survivors(mask, targets) -> boolean [T].
 
     Target features are computed on device (the dilations/reductions are
-    image-sized) and pulled to host once per target block; the bound
-    matmul itself is small (B x F x T with F ~ 43K) and runs in host
-    NumPy — at current block sizes a device dispatch would cost more
-    than the product.
-    """
+    image-sized). The bound matmul [B, F] @ [F, T] (F ~ 43K) runs on the
+    MXU by default — pulling only the [B, T] bounds to host instead of
+    the ~F*4-bytes-per-target feature matrix; `device=False` keeps the
+    original host-NumPy path (used when features must cross hosts)."""
 
-    def __init__(self, zt9: int, xy_shift: int, height: int, width: int):
+    def __init__(self, zt9: int, xy_shift: int, height: int, width: int,
+                 device: bool = True):
         self.zt9 = zt9
         self.xy_shift = xy_shift
         self.grid_hw = (-(-height // TILE_H), -(-width // TILE_W))
         self.height = height
         self.width = width
+        self.device = device
 
     def target_features(self, t_words, t_words_flipped):
         wd = target_features(t_words, self.zt9, self.xy_shift, self.grid_hw)
         wm = target_features(t_words_flipped, self.zt9, self.xy_shift,
                              self.grid_hw)
+        if self.device:
+            return wd, wm  # stay device-resident for the MXU bound matmul
         return np.asarray(wd), np.asarray(wm)
 
     def query_features(self, words: np.ndarray) -> np.ndarray:
@@ -192,4 +207,6 @@ class PairPrescreen:
 
     def bounds(self, u_block: np.ndarray, tfeats) -> np.ndarray:
         wd, wm = tfeats
+        if self.device:
+            return np.asarray(_bounds_matmul(jnp.asarray(u_block), wd, wm))
         return np.maximum(u_block @ wd.T, u_block @ wm.T)
