@@ -207,9 +207,17 @@ def _bench_twophase():
         stage["screen"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         survivors = (bounds > thr[:, None]).astype(np.int32)
-        finishers = [e.score_packed_deferred(packed, survivors=survivors[i])
-                     for i, e in enumerate(engines)]
-        results = [f() for f in finishers]
+        # bounded launch-ahead: overlap host drains with device compute
+        # without holding too many compaction-gather buffers live
+        from collections import deque
+        results, window = [], deque()
+        for i, e in enumerate(engines):
+            window.append(e.score_packed_deferred(packed,
+                                                  survivors=survivors[i]))
+            if len(window) >= 4:
+                results.append(window.popleft()())
+        while window:
+            results.append(window.popleft()())
         stage["exact"] = time.perf_counter() - t0
         stage["survivor_rate"] = float(survivors.mean())
         return results, stage

@@ -507,11 +507,14 @@ class ActiveTilePixelEngine:
             t_padded, t_flipped, self.zt9, self.pad, self.shifts,
             tb, max(tg, 1), self.interpret)
 
-    # survivor-compaction chunk: ONE extra static kernel shape (tsz=128)
+    # survivor-compaction chunk: ONE extra static kernel shape (tsz=64)
     # shared by every mask/partition, per the one-compile-per-shape
     # discipline (remote TPU compiles are minutes and uncached across
-    # processes — see ROADMAP)
-    COMPACT_CHUNK = 128
+    # processes — see ROADMAP). 64 keeps the per-chunk gather small
+    # (2 x 64 x window-frame ~ 0.5 GB HBM traffic) and the dead padding
+    # blocks beyond the survivor count skip their window DMA anyway.
+    COMPACT_CHUNK = int(__import__("os").environ.get("CMS_COMPACT_CHUNK",
+                                                     "64"))
 
     def score_packed_deferred(self, packed, survivors=None):
         """Launch the exact sweep and return a finish() closure.

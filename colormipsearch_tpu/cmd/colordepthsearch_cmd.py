@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import getpass
 import logging
+import os
 import time
 from typing import List
 
@@ -257,7 +258,9 @@ def run(args: argparse.Namespace) -> int:
             eng = ActiveTilePixelEngine(
                 mip.image, args.maskThreshold, args.mirrorMask,
                 args.dataThreshold, args.pixColorFluctuation, args.xyShift,
-                excluded)
+                excluded,
+                # hermetic CI coverage of this branch on CPU
+                interpret=os.environ.get("CMS_PALLAS_INTERPRET") == "1")
             prepared.append((mask, eng))
         else:
             prepared.append((mask, prepare_query_planes(
@@ -290,23 +293,39 @@ def run(args: argparse.Namespace) -> int:
                 bounds_all = screen.bounds(screen_u_matrix, tfeats)
             jax.block_until_ready(packed)
             stage_totals["pack"] += time.perf_counter() - t0
-            for bi_m, (mask, eng) in enumerate(prepared):
-                t0 = time.perf_counter()
+            # launch masks' (compacted) kernel calls ahead of the drain —
+            # a bounded launch window overlaps host result handling with
+            # device compute without holding too many gather buffers live
+            t0 = time.perf_counter()
+            from collections import deque
+            window = deque()
+            # each in-flight mask may hold a compaction gather
+            # (2 x chunk x padded-frame) live in HBM — keep the
+            # launch-ahead shallow
+            AHEAD = 4
+
+            def launch(bi_m, mask, eng):
                 survivors = None
                 if bounds_all is not None:
                     thr = max(ratio_threshold * eng.tiles.query_size, 0.5)
                     survivors = (bounds_all[bi_m] > thr).astype(np.int32)
                     stage_totals["screened"] = stage_totals.get("screened", 0) \
                         + int((survivors == 0).sum())
-                if survivors is not None and not survivors.any():
-                    tsz = t_stack.shape[0]
-                    z = np.zeros(tsz, dtype=np.int64)
-                    stage_totals["score"] += time.perf_counter() - t0
-                    yield z[None], np.zeros(tsz, bool)[None],                         [(mask, eng.tiles.query_size)]
-                    continue
-                s, _, m = eng.score_packed(packed, survivors=survivors)
-                stage_totals["score"] += time.perf_counter() - t0
-                yield s[None], m[None], [(mask, eng.tiles.query_size)]
+                window.append(
+                    (mask, eng,
+                     eng.score_packed_deferred(packed, survivors=survivors)))
+
+            for bi_m, (mask, eng) in enumerate(prepared):
+                launch(bi_m, mask, eng)
+                if len(window) >= AHEAD:
+                    m_, e_, fin = window.popleft()
+                    s, _, mm = fin()
+                    yield s[None], mm[None], [(m_, e_.tiles.query_size)]
+            while window:
+                m_, e_, fin = window.popleft()
+                s, _, mm = fin()
+                yield s[None], mm[None], [(m_, e_.tiles.query_size)]
+            stage_totals["score"] += time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
             n_t_real = t_stack.shape[0]
@@ -424,7 +443,6 @@ def run(args: argparse.Namespace) -> int:
             args = argparse.Namespace(**{**vars(args), "db": None,
                                          "output_dir": None})
     if args.db or args.output_dir:
-        import os
         from .backends import matches_writer
         per_masks = (os.path.join(args.output_dir, args.perMaskSubdir)
                      if args.output_dir else None)

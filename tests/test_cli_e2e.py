@@ -139,3 +139,27 @@ def test_lm_export_inverted(workspace):
     assert doc["inputImage"]["type"] == "LMImage"
     assert all(r["image"]["type"] == "EMImage" for r in doc["results"])
     assert all(r["image"]["mipId"] == "em-12191" for r in doc["results"])
+
+
+def test_pallas_engine_cli_branch(workspace, tmp_path, monkeypatch):
+    """CLI pallas branch (prescreen + compaction + launch window) in
+    interpret mode on CPU — same goldens as the dense path."""
+    monkeypatch.setenv("CMS_PALLAS_INTERPRET", "1")
+    ws = str(workspace)
+    out = str(tmp_path / "pallas_out")
+    rc = main(["colorDepthSearch",
+               "-m", os.path.join(ws, "masks.json"),
+               "-i", os.path.join(ws, "targets.json"),
+               "--maskThreshold", "20", "--dataThreshold", "20",
+               "--pixColorFluctuation", "1", "--xyShift", "2",
+               "--mirrorMask", "--engine", "pallas",
+               "--pctPositivePixels", "1.0",
+               "-od", out])
+    assert rc == 0
+    with open(os.path.join(out, "masks", "em-12191.json")) as f:
+        doc = json.load(f)
+    results = {r["image"]["mipId"]: r for r in doc["results"]}
+    assert results["lm-0"]["matchingPixels"] == 439
+    assert results["lm-1"]["matchingPixels"] == 414
+    assert results["lm-2"]["matchingPixels"] == 426
+    assert results["lm-2"]["mirrored"] is True
