@@ -202,8 +202,9 @@ def _bench_twophase():
         jax.block_until_ready(packed)
         stage["pack"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        tfeats = screen.target_features(words, words[:, :, ::-1])
+        tfeats = screen.target_features(words)  # mirror features in-jit
         bounds = screen.bounds(u_matrix, tfeats)  # [B, T]
+        del words, tfeats  # free the 1.4 GB word planes before scoring
         stage["screen"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         survivors = (bounds > thr[:, None]).astype(np.int32)

@@ -126,16 +126,22 @@ def query_features(words: np.ndarray) -> np.ndarray:
     return feats.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("zt9", "xy_shift", "grid_hw"))
-def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "xy_shift", "grid_hw", "flip"))
+def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
+                    flip: bool = False) -> jnp.ndarray:
     """f32 [T, ntiles * N_BINS] compat-presence features (device).
 
     t_words: [T, H, W] packed target planes (unpadded frame).
     w01[τ, j] = 1 iff the (tile ⊕ xy_shift) region holds a target pixel
-    whose bin k has compat[j, k].
+    whose bin k has compat[j, k]. flip=True computes the features of the
+    x-mirrored frame (fused in-jit: the flipped frame is never
+    materialized in HBM).
     """
     gh, gw = grid_hw
     tsz, h, w = t_words.shape
+    if flip:
+        t_words = t_words[:, :, ::-1]
     bins = bin_plane_from_words(t_words)
     pad = max(xy_shift, 0)
     # bin presence as TWO int32 bitmask planes (bins 0..29 / 30..59):
@@ -147,9 +153,14 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw) -> jnp.ndarray:
         bins >= 30, bins - 30, 0), 0)
     words2 = jnp.stack([lo_bit, hi_bit], axis=1)  # [T, 2, H, W]
     if pad:
+        # rectangular OR-dilation is separable: two 1-D passes do
+        # 2*(2p+1) reads/px instead of (2p+1)^2
         words2 = jax.lax.reduce_window(
             words2, 0, jax.lax.bitwise_or,
-            (1, 1, 2 * pad + 1, 2 * pad + 1), (1, 1, 1, 1), "same")
+            (1, 1, 2 * pad + 1, 1), (1, 1, 1, 1), "same")
+        words2 = jax.lax.reduce_window(
+            words2, 0, jax.lax.bitwise_or,
+            (1, 1, 1, 2 * pad + 1), (1, 1, 1, 1), "same")
     padded = jnp.zeros((tsz, 2, gh * TILE_H, gw * TILE_W), jnp.int32)
     padded = padded.at[:, :, :h, :w].set(words2)
     tiles = padded.reshape(tsz, 2, gh, TILE_H, gw, TILE_W)
@@ -194,10 +205,32 @@ class PairPrescreen:
         self.width = width
         self.device = device
 
-    def target_features(self, t_words, t_words_flipped):
-        wd = target_features(t_words, self.zt9, self.xy_shift, self.grid_hw)
-        wm = target_features(t_words_flipped, self.zt9, self.xy_shift,
-                             self.grid_hw)
+    # feature sub-block: bounds the multi-GB bin-plane temporaries of
+    # target_features (padded planes are ~6 MB/target x several temps)
+    FEATURE_BLOCK = 64
+
+    def target_features(self, t_words, t_words_flipped=None):
+        """Compat-presence features for both orientations, computed in
+        target sub-blocks to bound device temp memory. When
+        t_words_flipped is None the mirror features come from an in-jit
+        flip (no materialized flipped frame)."""
+        tsz = t_words.shape[0]
+        blk = self.FEATURE_BLOCK
+        outs_d, outs_m = [], []
+        for i in range(0, tsz, blk):
+            wd_blk = t_words[i:i + blk]
+            outs_d.append(target_features(wd_blk, self.zt9, self.xy_shift,
+                                          self.grid_hw))
+            if t_words_flipped is None:
+                outs_m.append(target_features(wd_blk, self.zt9,
+                                              self.xy_shift, self.grid_hw,
+                                              flip=True))
+            else:
+                outs_m.append(target_features(t_words_flipped[i:i + blk],
+                                              self.zt9, self.xy_shift,
+                                              self.grid_hw))
+        wd = outs_d[0] if len(outs_d) == 1 else jnp.concatenate(outs_d)
+        wm = outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m)
         if self.device:
             return wd, wm  # stay device-resident for the MXU bound matmul
         return np.asarray(wd), np.asarray(wm)

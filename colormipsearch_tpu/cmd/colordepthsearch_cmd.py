@@ -275,9 +275,9 @@ def run(args: argparse.Namespace) -> int:
         screen = PairPrescreen(zt9, args.xyShift,
                                first_eng.tiles.height, first_eng.tiles.width)
         # one [B, F] feature matrix: bounds for ALL masks of a partition
-        # are a single host matmul
-        screen_u_matrix = np.stack([
-            screen.query_features(eng.planes.words) for _, eng in prepared])
+        # are a single MXU matmul; uploaded once for the whole run
+        screen_u_matrix = jnp.asarray(np.stack([
+            screen.query_features(eng.planes.words) for _, eng in prepared]))
 
     def score_blocks(t_stack):
         """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
@@ -288,9 +288,11 @@ def run(args: argparse.Namespace) -> int:
             packed = prepared[0][1].pad_from_words(words)
             bounds_all = None
             if screen is not None:
-                # bounds for ALL masks of this partition: one host matmul
-                tfeats = screen.target_features(words, words[:, :, ::-1])
+                # bounds for ALL masks of this partition: one MXU matmul
+                # (mirror features flipped in-jit, never materialized)
+                tfeats = screen.target_features(words)
                 bounds_all = screen.bounds(screen_u_matrix, tfeats)
+                del tfeats
             jax.block_until_ready(packed)
             stage_totals["pack"] += time.perf_counter() - t0
             # launch masks' (compacted) kernel calls ahead of the drain —
