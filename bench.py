@@ -175,6 +175,20 @@ def _bench_twophase():
             return px
         return np.roll(px, ((37 * i) % h, (151 * i) % w), axis=(0, 1))
 
+    def band(px, i):
+        # rolled copies of the SAME 4 neurons overlap every mask in
+        # coarse tile space, which a tile-granular bound cannot separate;
+        # real libraries hold DIFFERENT neurons in different brain
+        # regions. Model that by keeping one row band per rolled target
+        # (index 0 stays whole so the golden pairs survive).
+        if i == 0:
+            return px
+        bh = 160
+        b0 = (53 * i) % (h - bh)
+        out = np.zeros_like(px)
+        out[b0:b0 + bh] = px[b0:b0 + bh]
+        return out
+
     t0 = time.perf_counter()
     engines = []
     for i in range(B):
@@ -184,7 +198,7 @@ def _bench_twophase():
                                              excluded, interpret=interpret))
     _log(f"[twophase] built {B} mask engines in "
          f"{time.perf_counter() - t0:.1f}s")
-    targets = np.stack([roll(lm_px[i % len(lm_px)], i // len(lm_px))
+    targets = np.stack([band(roll(lm_px[i % len(lm_px)], i // len(lm_px)), i)
                         for i in range(T)])
 
     screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2, h, w)

@@ -253,6 +253,37 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
 
 NV_PAD = 32  # accumulator sublanes (>= 2 * n_shifts)
 
+# device-side blocked-build granularity: the tunneled TPU shares HBM
+# with other tenants, so any single XLA program with a multi-GB working
+# set fails nondeterministically with RESOURCE_EXHAUSTED; build big
+# resident arrays in ~64-target blocks placed via donated in-place
+# updates (working set = resident out + one block)
+DEVICE_BLOCK = int(__import__("os").environ.get("CMS_DEVICE_BLOCK", "64"))
+
+
+@functools.partial(jax.jit, static_argnames=("n_flat",))
+def _scatter_words(idx, vals, n_flat):
+    # empty/sub-threshold pixels pack to word 1 (bden clamps to 1), so
+    # the scatter fill is 1; padding entries repeat the last real pair
+    # (same index, same value — order-independent)
+    base = jnp.full((n_flat,), 1, jnp.int32)
+    return base.at[idx].set(vals, indices_are_sorted=True)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _place_block(out, block, start):
+    return jax.lax.dynamic_update_slice(
+        out, block, (start,) + (0,) * (out.ndim - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _pad_block(wb, spec):
+    # NB: the flip must happen on the RAW w-wide plane before the
+    # (asymmetric) tile-alignment padding, so flip_x sampling maps to
+    # t[w-1-x-dx] exactly as in the dense kernel's symmetric frame.
+    return (jnp.pad(wb, spec, constant_values=1),
+            jnp.pad(wb[:, :, ::-1], spec, constant_values=1))
+
 
 def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
     assert tb % tg == 0
@@ -447,14 +478,13 @@ class ActiveTilePixelEngine:
         self.target_block = 16
         import os as _os
         self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "1"))
+        self._sparse_feed = _os.environ.get("CMS_SPARSE_FEED", "1") == "1"
         self.tiles = build_active_tiles(self.planes, self.pad)
         self._dev_query = None
 
-    def pack_raw_words(self, targets_u8: np.ndarray):
-        """Device-packed [T, H, W] scorer words (unpadded frame); also
-        the input for the MXU prescreen's target features."""
+    def _pack_block(self, t_block_u8):
         from .pixel_kernel import pack_planes
-        t = jnp.asarray(targets_u8)
+        t = jnp.asarray(t_block_u8)
         r = t[..., 0].astype(jnp.int32)
         g = t[..., 1].astype(jnp.int32)
         b = t[..., 2].astype(jnp.int32)
@@ -462,20 +492,73 @@ class ActiveTilePixelEngine:
                  | (b > self.target_threshold))
         return pack_planes(r, g, b, above, jnp)
 
+    def _pack_block_sparse(self, t_block_u8: np.ndarray):
+        """Sparse host->device feed: CDM frames are a few percent
+        occupied, so uploading only (flat index, word) pairs of the
+        above-threshold pixels cuts the tunnel transfer ~10-30x; words
+        equal the dense pack except sub-threshold pixels canonicalize to
+        the empty word 1 (score-invariant: the predicate, prescreen bins
+        and window skip all gate on the sel bit). Returns None when the
+        block is too dense to benefit."""
+        from ..native.mipops import sparse_pack_block
+        t, h, w = t_block_u8.shape[:3]
+        idx, vals = sparse_pack_block(t_block_u8, self.target_threshold)
+        n = len(idx)
+        if n > (t * h * w) // 4:
+            return None  # dense block: plain upload is cheaper
+        cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        idx_p = np.full(cap, idx[-1] if n else 0, np.int32)
+        vals_p = np.full(cap, vals[-1] if n else 1, np.int32)
+        idx_p[:n] = idx
+        vals_p[:n] = vals
+        flat = _scatter_words(jnp.asarray(idx_p), jnp.asarray(vals_p),
+                              t * h * w)
+        return flat.reshape(t, h, w)
+
+    def pack_raw_words(self, targets_u8: np.ndarray):
+        """Device-packed [T, H, W] scorer words (unpadded frame); also
+        the input for the MXU prescreen's target features. Built in
+        DEVICE_BLOCK-target sub-programs (see _place_block), each fed
+        sparsely when the data is sparse (CMS_SPARSE_FEED=0 disables)."""
+        tsz, h, w = targets_u8.shape[:3]
+        sparse_ok = (self._sparse_feed and isinstance(targets_u8, np.ndarray)
+                     and targets_u8.dtype == np.uint8)
+
+        def block(tb):
+            if sparse_ok:
+                out = self._pack_block_sparse(tb)
+                if out is not None:
+                    return out
+            return self._pack_block(tb)
+
+        blk = DEVICE_BLOCK
+        if tsz <= blk:
+            return block(targets_u8)
+        out = jnp.zeros((tsz, h, w), jnp.int32)
+        for i in range(0, tsz, blk):
+            out = _place_block(out, block(targets_u8[i:i + blk]), i)
+        return out
+
     def pad_from_words(self, words):
-        """Tile-aligned ring-padded frame (+ x-flip) from raw words."""
-        _, h, w = words.shape
+        """Tile-aligned ring-padded frame (+ x-flip) from raw words.
+        Blocked like pack_raw_words to bound per-program working sets."""
+        tsz, h, w = words.shape
         gh = -(-h // TILE_H)
         gw = -(-w // TILE_W)
         # one full tile ring of padding on every side keeps each 3x3
         # super-tile window in-bounds AND (8, 128)-aligned for HBM DMA
         spec = ((0, 0), (TILE_H, gh * TILE_H - h + TILE_H),
                 (TILE_W, gw * TILE_W - w + TILE_W))
-        padded = jnp.pad(words, spec, constant_values=1)
-        # NB: the flip must happen on the RAW w-wide plane before the
-        # (asymmetric) tile-alignment padding, so flip_x sampling maps to
-        # t[w-1-x-dx] exactly as in the dense kernel's symmetric frame.
-        flipped = jnp.pad(words[:, :, ::-1], spec, constant_values=1)
+        blk = DEVICE_BLOCK
+        if tsz <= blk:
+            return _pad_block(words, spec)
+        hp, wp = gh * TILE_H + 2 * TILE_H, gw * TILE_W + 2 * TILE_W
+        padded = jnp.zeros((tsz, hp, wp), jnp.int32)
+        flipped = jnp.zeros((tsz, hp, wp), jnp.int32)
+        for i in range(0, tsz, blk):
+            pb, fb = _pad_block(words[i:i + blk], spec)
+            padded = _place_block(padded, pb, i)
+            flipped = _place_block(flipped, fb, i)
         return padded, flipped
 
     def prepare_targets(self, targets_u8: np.ndarray):

@@ -177,13 +177,21 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
 
 @jax.jit
 def _bounds_matmul(u, wd, wm):
-    # HIGHEST precision keeps the f32 matmul exact for these integer-
-    # valued inputs (tile-bin counts <= 1024, 0/1 weights; every partial
-    # sum < 2^24): the bound must never round BELOW the true value or a
-    # matching pair could be wrongly screened out.
-    hp = jax.lax.Precision.HIGHEST
-    bd = jnp.matmul(u, wd.T, precision=hp)
-    bm = jnp.matmul(u, wm.T, precision=hp)
+    # The bound must never round BELOW the true value or a matching pair
+    # could be wrongly screened out. A TRUE-f32 dot (f32 multiply + f32
+    # accumulate) is exact for these integer-valued inputs (tile-bin
+    # counts <= 1024, 0/1 weights; every partial sum < 2^24).
+    # precision="float32" selects the F32_F32_F32 dot algorithm — unlike
+    # Precision.HIGHEST whose 6-pass bf16 decomposition takes minutes to
+    # compile on the remote TPU service (and exhausts it when two such
+    # matmuls fuse).
+    try:
+        bd = jnp.matmul(u, wd.T, precision="float32")
+        bm = jnp.matmul(u, wm.T, precision="float32")
+    except (ValueError, TypeError):  # older jax: no dot-algorithm strings
+        hp = jax.lax.Precision.HIGHEST
+        bd = jnp.matmul(u, wd.T, precision=hp)
+        bm = jnp.matmul(u, wm.T, precision=hp)
     return jnp.maximum(bd, bm)
 
 

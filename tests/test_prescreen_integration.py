@@ -89,3 +89,40 @@ def test_survivor_compaction_equals_bitmap_path(fixtures_dir):
     np.testing.assert_array_equal(compact, full)
     np.testing.assert_array_equal(mc, mf)
     assert full[0] == 439 and full[1] == 414
+
+
+def test_sparse_feed_equals_dense_feed(fixtures_dir):
+    """Sparse (idx, word) upload must reproduce the dense pack's scores
+    and prescreen features exactly (sub-threshold words canonicalize to
+    the empty word 1, which every consumer gates out via the sel bit)."""
+    import jax.numpy as jnp
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded,
+                                   interpret=True)
+    lms = ["VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif",
+           "BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_HR-2483089192251293794-CH2-01_CDM.tif"]
+    targets = np.stack([load_image(fixtures_dir / "lms" / n).pixels
+                        for n in lms])
+    engine._sparse_feed = True
+    words_sparse = np.asarray(engine.pack_raw_words(targets))
+    engine._sparse_feed = False
+    words_dense = np.asarray(engine.pack_raw_words(targets))
+    sel = (words_dense >> 19) & 1
+    np.testing.assert_array_equal(words_sparse[sel > 0], words_dense[sel > 0])
+    assert (words_sparse[sel == 0] == 1).all()
+    # scores identical through the kernel
+    s_sparse, _, m_sparse = engine.score_packed(
+        engine.pad_from_words(jnp.asarray(words_sparse)))
+    s_dense, _, m_dense = engine.score_packed(
+        engine.pad_from_words(jnp.asarray(words_dense)))
+    np.testing.assert_array_equal(s_sparse, s_dense)
+    np.testing.assert_array_equal(m_sparse, m_dense)
+    assert list(s_sparse) == [439, 414]
+    # prescreen features identical
+    screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2,
+                           engine.tiles.height, engine.tiles.width)
+    fd_s = screen.target_features(jnp.asarray(words_sparse))
+    fd_d = screen.target_features(jnp.asarray(words_dense))
+    np.testing.assert_array_equal(np.asarray(fd_s[0]), np.asarray(fd_d[0]))
+    np.testing.assert_array_equal(np.asarray(fd_s[1]), np.asarray(fd_d[1]))
