@@ -412,6 +412,22 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "pad", "shifts_tuple", "tb",
                                     "tg", "interpret"))
+def _compact_call(coords, survivors, q_tiles, t_padded, t_flipped, idx,
+                  zt9: int, pad: int, shifts_tuple, tb: int, tg: int,
+                  interpret: bool):
+    """Survivor-compacted scoring as ONE dispatch: the two gathers feed
+    the kernel inside a single jit, so no standalone gather buffers ever
+    sit live in HBM and the tunnel pays one RPC per chunk, not five."""
+    tp_c = jnp.take(t_padded, idx, axis=0)
+    tf_c = jnp.take(t_flipped, idx, axis=0)
+    return _active_tile_call.__wrapped__(
+        coords, survivors, q_tiles, tp_c, tf_c, zt9, pad, shifts_tuple,
+        tb, tg, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "pad", "shifts_tuple", "tb",
+                                    "tg", "interpret"))
 def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
                       zt9: int, pad: int, shifts_tuple, tb: int,
                       tg: int, interpret: bool):
@@ -600,7 +616,7 @@ class ActiveTilePixelEngine:
                                                      "64"))
 
     def score_packed_deferred(self, packed, survivors=None):
-        """Launch the exact sweep and return a finish() closure.
+        """Launch the exact sweep and return a callable DeferredScore.
 
         survivors: optional uint8/int32 [T] bitmap from the MXU
         prescreen; zero entries skip the exact sweep (their scores are
@@ -608,14 +624,14 @@ class ActiveTilePixelEngine:
         bound already placed below the keep threshold).
 
         When the screen kills most of the block, the surviving targets
-        are COMPACTED: gathered on device into fixed chunks whose dead
-        padding blocks skip even the window DMA, so the kernel's cost is
-        paid per survivor, not per target. All device work is queued
-        before finish() syncs — a mask sweep can launch every mask's
-        scoring and drain results afterwards (one round-trip, not B)."""
+        are COMPACTED: gathered (inside the same dispatch as the kernel)
+        into fixed chunks whose dead padding blocks skip even the window
+        DMA, so the kernel's cost is paid per survivor, not per target.
+        All device work is queued up front — a mask sweep launches every
+        mask's scoring, then drains all results in ONE device round-trip
+        via drain_deferred()."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
-        n = len(self.shifts)
         pending = []  # (dest_idx or None, device_out, n_real)
         surv_np = None
         if survivors is None:
@@ -629,50 +645,27 @@ class ActiveTilePixelEngine:
             if ns == 0:
                 pass
             elif ns <= tsz // 4 and tsz > ck:
+                coords, q_tiles = self._query_dev()
+                tb = min(self.target_block, ck)
+                tg = self.target_group
+                while tb % tg:
+                    tg //= 2
                 padded_n = -(-ns // ck) * ck
                 idx_pad = np.zeros(padded_n, dtype=np.int32)
                 idx_pad[:ns] = idx
                 for c0 in range(0, padded_n, ck):
-                    chunk = jnp.asarray(idx_pad[c0:c0 + ck])
-                    tp_c = jnp.take(t_padded, chunk, axis=0)
-                    tf_c = jnp.take(t_flipped, chunk, axis=0)
                     surv_c = np.zeros(ck, dtype=np.int32)
                     surv_c[:max(ns - c0, 0)] = 1
-                    oc = self._call_kernel(tp_c, tf_c, jnp.asarray(surv_c))
+                    oc = _compact_call(
+                        coords, surv_c, q_tiles, t_padded, t_flipped,
+                        idx_pad[c0:c0 + ck], self.zt9, self.pad,
+                        self.shifts, tb, max(tg, 1), self.interpret)
                     real = min(ck, ns - c0)
                     pending.append((idx_pad[c0:c0 + real], oc, real))
             else:
                 pending.append((None, self._call_kernel(
                     t_padded, t_flipped, jnp.asarray(surv_np)), tsz))
-
-        def finish() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-            out = np.zeros((tsz, 2 * n), dtype=np.int64)
-            for dest, dev, real in pending:
-                host = np.asarray(dev)
-                if dest is None:
-                    out[:] = host
-                else:
-                    out[dest] = host[:real]
-            if surv_np is not None:
-                # the in-kernel skip is group-granular (target_group);
-                # zero non-survivor rows so the reported scores match
-                # the per-target contract exactly
-                out = out * surv_np.astype(np.int64)[:, None]
-            direct = out[:, :n].max(axis=1)
-            if self.mirror_query:
-                mirror = out[:, n:].max(axis=1)
-                best = np.maximum(direct, mirror)
-                mirrored = mirror > direct
-            else:
-                best = direct
-                mirrored = np.zeros_like(direct, dtype=bool)
-            if self.tiles.query_size == 0:
-                z = np.zeros_like(best)
-                return z, np.zeros_like(best, dtype=np.float64), mirrored
-            ratios = best.astype(np.float64) / float(self.tiles.query_size)
-            return best.astype(np.int64), ratios, mirrored
-
-        return finish
+        return DeferredScore(self, tsz, pending, surv_np)
 
     def score_packed(self, packed, survivors=None
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -680,3 +673,84 @@ class ActiveTilePixelEngine:
 
     def score_batch(self, targets_u8: np.ndarray):
         return self.score_packed(self.prepare_targets(targets_u8))
+
+
+class DeferredScore:
+    """Handle for an in-flight exact sweep (one mask x one target block).
+
+    The kernel launches are already queued on device when this object is
+    constructed; calling it pulls the per-variant sums to host and
+    reduces them to (best_scores int64[T], ratios f64[T], mirrored
+    bool[T]). Results are cached — calling twice is free.
+
+    For a mask sweep, prefer drain_deferred(list_of_deferred): it fetches
+    every pending device buffer across all masks in ONE jax.device_get
+    (one tunnel round-trip) instead of one sync per mask.
+    """
+
+    def __init__(self, engine, tsz, pending, surv_np):
+        self._engine = engine
+        self._tsz = tsz
+        self._pending = pending  # [(dest_idx or None, device_out, n_real)]
+        self._surv_np = surv_np
+        self._result = None
+
+    def device_outputs(self):
+        return [dev for _, dev, _ in self._pending]
+
+    def finalize(self, hosts):
+        """Reduce already-fetched host arrays (same order as
+        device_outputs()) to the scoring triple."""
+        if self._result is not None:
+            return self._result
+        eng = self._engine
+        n = len(eng.shifts)
+        out = np.zeros((self._tsz, 2 * n), dtype=np.int64)
+        for (dest, _, real), host in zip(self._pending, hosts):
+            host = np.asarray(host)
+            if dest is None:
+                out[:] = host
+            else:
+                out[dest] = host[:real]
+        if self._surv_np is not None:
+            # the in-kernel skip is group-granular (target_group); zero
+            # non-survivor rows so the reported scores match the
+            # per-target contract exactly
+            out = out * self._surv_np.astype(np.int64)[:, None]
+        direct = out[:, :n].max(axis=1)
+        if eng.mirror_query:
+            mirror = out[:, n:].max(axis=1)
+            best = np.maximum(direct, mirror)
+            mirrored = mirror > direct
+        else:
+            best = direct
+            mirrored = np.zeros_like(direct, dtype=bool)
+        if eng.tiles.query_size == 0:
+            z = np.zeros_like(best)
+            self._result = (z, np.zeros_like(best, dtype=np.float64),
+                            mirrored)
+        else:
+            ratios = best.astype(np.float64) / float(eng.tiles.query_size)
+            self._result = (best.astype(np.int64), ratios, mirrored)
+        return self._result
+
+    def __call__(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._result is None:
+            self.finalize(jax.device_get(self.device_outputs()))
+        return self._result
+
+
+def drain_deferred(deferreds):
+    """Drain many DeferredScores with ONE device round-trip.
+
+    Batches every pending output buffer into a single jax.device_get —
+    over the tunneled TPU each device_get costs a full RPC round-trip,
+    so a 512-mask sweep drains ~512x fewer syncs this way."""
+    flat, spans = [], []
+    for d in deferreds:
+        outs = d.device_outputs() if d._result is None else []
+        spans.append((len(flat), len(outs)))
+        flat.extend(outs)
+    hosts = jax.device_get(flat) if flat else []
+    return [d.finalize(hosts[k:k + m]) if d._result is None else d._result
+            for d, (k, m) in zip(deferreds, spans)]

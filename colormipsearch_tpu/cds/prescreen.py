@@ -39,6 +39,14 @@ N_SECT = 6
 N_BINS = N_SECT * NB
 TILE_H = 8
 TILE_W = 128
+# spatial feature granularity: SUBTILE_W-pixel column slices of each
+# 8x128 tile. The exact kernel's shifts reach only +-xyShift (2) pixels,
+# so a 128-px-wide presence cell lets target signal ~130 px away
+# validate a query pixel; 16-px cells cut that slack 8x. Counts per cell
+# stay <= TILE_H*SUBTILE_W = 128, which bf16 represents exactly — the
+# bound matmul runs native-bf16 on the MXU with f32 accumulation
+# (exact: integer products, partial sums < 2^24).
+SUBTILE_W = int(__import__("os").environ.get("CMS_PRESCREEN_SUBW", "16"))
 
 
 @functools.lru_cache(maxsize=8)
@@ -112,15 +120,17 @@ def bin_plane_from_words(words, xp=jnp):
 
 
 def query_features(words: np.ndarray) -> np.ndarray:
-    """f32 [ntiles * N_BINS] tile-bin counts for a query (host)."""
+    """f32 [npos * N_BINS] subtile-bin counts for a query (host);
+    npos = gh * gw * (TILE_W // SUBTILE_W) row-major positions."""
     h, w = words.shape
     gh = -(-h // TILE_H)
     gw = -(-w // TILE_W)
+    gwn = gw * (TILE_W // SUBTILE_W)
     padded = np.full((gh * TILE_H, gw * TILE_W), -1, dtype=np.int64)
     padded[:h, :w] = bin_plane_from_words(words.astype(np.int64), xp=np)
-    tiles = padded.reshape(gh, TILE_H, gw, TILE_W).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(gh * gw, TILE_H * TILE_W)
-    feats = np.zeros((gh * gw, N_BINS), dtype=np.float32)
+    tiles = padded.reshape(gh, TILE_H, gwn, SUBTILE_W).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(gh * gwn, TILE_H * SUBTILE_W)
+    feats = np.zeros((gh * gwn, N_BINS), dtype=np.float32)
     for j in range(N_BINS):
         feats[:, j] = (tiles == j).sum(axis=1)
     return feats.reshape(-1)
@@ -161,37 +171,46 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
         words2 = jax.lax.reduce_window(
             words2, 0, jax.lax.bitwise_or,
             (1, 1, 1, 2 * pad + 1), (1, 1, 1, 1), "same")
+    gwn = gw * (TILE_W // SUBTILE_W)
     padded = jnp.zeros((tsz, 2, gh * TILE_H, gw * TILE_W), jnp.int32)
     padded = padded.at[:, :, :h, :w].set(words2)
-    tiles = padded.reshape(tsz, 2, gh, TILE_H, gw, TILE_W)
+    tiles = padded.reshape(tsz, 2, gh, TILE_H, gwn, SUBTILE_W)
     tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or, (3, 5))
-    tile_or = tile_or.reshape(tsz, 2, gh * gw)  # [T, 2, nt]
+    tile_or = tile_or.reshape(tsz, 2, gh * gwn)  # [T, 2, npos]
     k_ids = jnp.arange(30, dtype=jnp.int32)
-    pres_lo = ((tile_or[:, 0, :, None] >> k_ids) & 1)  # [T, nt, 30]
+    pres_lo = ((tile_or[:, 0, :, None] >> k_ids) & 1)  # [T, npos, 30]
     pres_hi = ((tile_or[:, 1, :, None] >> k_ids) & 1)
     presence = jnp.concatenate([pres_lo, pres_hi], axis=-1).astype(jnp.float32)
     compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
-    w01 = (presence @ compat.T) > 0                               # [T, nt, J]
-    return w01.astype(jnp.float32).reshape(tsz, -1)
+    w01 = (presence @ compat.T) > 0                               # [T, npos, J]
+    # bf16 halves feature HBM and doubles MXU rate; exact because the
+    # stored values are 0/1 (and the matched query counts are <= 256)
+    dt = jnp.bfloat16 if TILE_H * SUBTILE_W <= 256 else jnp.float32
+    return w01.astype(dt).reshape(tsz, -1)
 
 
 @jax.jit
 def _bounds_matmul(u, wd, wm):
     # The bound must never round BELOW the true value or a matching pair
-    # could be wrongly screened out. A TRUE-f32 dot (f32 multiply + f32
-    # accumulate) is exact for these integer-valued inputs (tile-bin
-    # counts <= 1024, 0/1 weights; every partial sum < 2^24).
-    # precision="float32" selects the F32_F32_F32 dot algorithm — unlike
-    # Precision.HIGHEST whose 6-pass bf16 decomposition takes minutes to
-    # compile on the remote TPU service (and exhausts it when two such
-    # matmuls fuse).
-    try:
-        bd = jnp.matmul(u, wd.T, precision="float32")
-        bm = jnp.matmul(u, wm.T, precision="float32")
-    except (ValueError, TypeError):  # older jax: no dot-algorithm strings
-        hp = jax.lax.Precision.HIGHEST
-        bd = jnp.matmul(u, wd.T, precision=hp)
-        bm = jnp.matmul(u, wm.T, precision=hp)
+    # could be wrongly screened out. Exactness argument: inputs are
+    # integer-valued (subtile-bin counts <= 256, 0/1 weights), products
+    # are exact in bf16/f32, the MXU accumulates in f32, and every
+    # partial sum < 2^24. bf16 features use the native MXU path; f32
+    # features use the F32_F32_F32 dot algorithm (precision="float32"
+    # — NOT Precision.HIGHEST, whose 6-pass decomposition takes minutes
+    # to compile on the remote TPU service and can exhaust it).
+    if wd.dtype == jnp.bfloat16:
+        ub = u.astype(jnp.bfloat16)  # exact: counts <= 256
+        bd = jnp.matmul(ub, wd.T, preferred_element_type=jnp.float32)
+        bm = jnp.matmul(ub, wm.T, preferred_element_type=jnp.float32)
+    else:
+        try:
+            bd = jnp.matmul(u, wd.T, precision="float32")
+            bm = jnp.matmul(u, wm.T, precision="float32")
+        except (ValueError, TypeError):  # older jax: no algorithm strings
+            hp = jax.lax.Precision.HIGHEST
+            bd = jnp.matmul(u, wd.T, precision=hp)
+            bm = jnp.matmul(u, wm.T, precision=hp)
     return jnp.maximum(bd, bm)
 
 
@@ -241,7 +260,8 @@ class PairPrescreen:
         wm = outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m)
         if self.device:
             return wd, wm  # stay device-resident for the MXU bound matmul
-        return np.asarray(wd), np.asarray(wm)
+        return (np.asarray(wd).astype(np.float32),
+                np.asarray(wm).astype(np.float32))
 
     def query_features(self, words: np.ndarray) -> np.ndarray:
         return query_features(words)
