@@ -150,18 +150,10 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
     """
     gh, gw = grid_hw
     tsz, h, w = t_words.shape
-    if flip:
-        t_words = t_words[:, :, ::-1]
-    bins = bin_plane_from_words(t_words)
     pad = max(xy_shift, 0)
     # bin presence as TWO int32 bitmask planes (bins 0..29 / 30..59):
     # one OR-reduction over the expanded tile replaces 60 boolean passes
-    valid = bins >= 0
-    lo_bit = jnp.where(valid & (bins < 30), jnp.int32(1) << jnp.where(
-        bins < 30, jnp.maximum(bins, 0), 0), 0)
-    hi_bit = jnp.where(valid & (bins >= 30), jnp.int32(1) << jnp.where(
-        bins >= 30, bins - 30, 0), 0)
-    words2 = jnp.stack([lo_bit, hi_bit], axis=1)  # [T, 2, H, W]
+    words2 = _bitmask_planes(t_words, flip)  # [T, 2, H, W]
     if pad:
         # rectangular OR-dilation is separable: two 1-D passes do
         # 2*(2p+1) reads/px instead of (2p+1)^2
@@ -187,6 +179,65 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
     # stored values are 0/1 (and the matched query counts are <= 256)
     dt = jnp.bfloat16 if TILE_H * SUBTILE_W <= 256 else jnp.float32
     return w01.astype(dt).reshape(tsz, -1)
+
+
+def _bitmask_planes(t_words, flip: bool):
+    """[T, 2, H, W] int32 bin-presence bitmask planes (bins 0..29 in
+    plane 0, 30..59 in plane 1), undilated."""
+    if flip:
+        t_words = t_words[:, :, ::-1]
+    bins = bin_plane_from_words(t_words)
+    valid = bins >= 0
+    lo_bit = jnp.where(valid & (bins < 30), jnp.int32(1) << jnp.where(
+        bins < 30, jnp.maximum(bins, 0), 0), 0)
+    hi_bit = jnp.where(valid & (bins >= 30), jnp.int32(1) << jnp.where(
+        bins >= 30, bins - 30, 0), 0)
+    return jnp.stack([lo_bit, hi_bit], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("zt9", "offsets", "grid_hw",
+                                             "flip"))
+def _variant_block_bounds(u, t_words, zt9: int, offsets, grid_hw,
+                          flip: bool) -> jnp.ndarray:
+    """Per-variant-max upper bounds [B, T'] for one target block.
+
+    Tighter than the dilated single bound: for each shift offset
+    o=(dx,dy) the exact kernel samples t(p.y+dy, p.x+dx), so
+      score_o <= sum_C sum_j u[C, j] * [compat px present in C + (dy,dx)]
+    and score = max_o score_o. The dilated bound lets every query PIXEL
+    pick its own offset from the (2s+1)^2 window; taking the max of
+    per-offset bounds enforces one global offset, which prunes pairs
+    whose cells only match under inconsistent shifts. Per-offset
+    features stay jit-internal (never materialized in HBM).
+    """
+    gh, gw = grid_hw
+    tsz, h, w = t_words.shape
+    words2 = _bitmask_planes(t_words, flip)
+    pad = max((max(abs(dx), abs(dy)) for dx, dy in offsets), default=0)
+    gwn = gw * (TILE_W // SUBTILE_W)
+    # one padded canvas; each offset is a static slice of it
+    canvas = jnp.zeros((tsz, 2, gh * TILE_H + 2 * pad, gw * TILE_W + 2 * pad),
+                       jnp.int32)
+    canvas = canvas.at[:, :, pad:pad + h, pad:pad + w].set(words2)
+    compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
+    k_ids = jnp.arange(30, dtype=jnp.int32)
+    ub = u.astype(jnp.bfloat16)  # exact: integer counts <= 256
+    best = None
+    for dx, dy in offsets:
+        sh = canvas[:, :, pad + dy:pad + dy + gh * TILE_H,
+                    pad + dx:pad + dx + gw * TILE_W]
+        tiles = sh.reshape(tsz, 2, gh, TILE_H, gwn, SUBTILE_W)
+        tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or,
+                                 (3, 5)).reshape(tsz, 2, gh * gwn)
+        pres = jnp.concatenate(
+            [(tile_or[:, 0, :, None] >> k_ids) & 1,
+             (tile_or[:, 1, :, None] >> k_ids) & 1],
+            axis=-1).astype(jnp.float32)                          # [T,np,K]
+        w01 = ((pres @ compat.T) > 0).astype(jnp.bfloat16)
+        b = jnp.matmul(ub, w01.reshape(tsz, -1).T,
+                       preferred_element_type=jnp.float32)        # [B, T']
+        best = b if best is None else jnp.maximum(best, b)
+    return best
 
 
 @jax.jit
@@ -271,3 +322,34 @@ class PairPrescreen:
         if self.device:
             return np.asarray(_bounds_matmul(jnp.asarray(u_block), wd, wm))
         return np.maximum(u_block @ wd.T, u_block @ wm.T)
+
+    def bounds_from_words(self, u_matrix, t_words) -> np.ndarray:
+        """Variant-consistent bounds [B, T] straight from packed words.
+
+        Tighter than target_features + bounds (see _variant_block_bounds)
+        and never materializes target features in HBM; computed in
+        FEATURE_BLOCK target sub-blocks padded to one static shape."""
+        offsets = _ring_offsets(self.xy_shift)
+        u_dev = jnp.asarray(u_matrix)
+        tsz = t_words.shape[0]
+        blk = self.FEATURE_BLOCK
+        outs = []
+        for i in range(0, tsz, blk):
+            wb = t_words[i:i + blk]
+            short = blk - wb.shape[0]
+            if short:  # pad to the one compiled shape; word 0 = unsel
+                wb = jnp.concatenate(
+                    [wb, jnp.zeros((short,) + wb.shape[1:], wb.dtype)])
+            bd = _variant_block_bounds(u_dev, wb, self.zt9, offsets,
+                                       self.grid_hw, False)
+            bm = _variant_block_bounds(u_dev, wb, self.zt9, offsets,
+                                       self.grid_hw, True)
+            b = np.asarray(jnp.maximum(bd, bm))
+            outs.append(b[:, :blk - short] if short else b)
+        return np.concatenate(outs, axis=1)
+
+
+@functools.lru_cache(maxsize=8)
+def _ring_offsets(xy_shift: int):
+    from .oracle import shift_ring_offsets
+    return tuple(shift_ring_offsets(xy_shift))

@@ -288,23 +288,21 @@ def run(args: argparse.Namespace) -> int:
             packed = prepared[0][1].pad_from_words(words)
             bounds_all = None
             if screen is not None:
-                # bounds for ALL masks of this partition: one MXU matmul
-                # (mirror features flipped in-jit, never materialized)
-                tfeats = screen.target_features(words)
-                bounds_all = screen.bounds(screen_u_matrix, tfeats)
-                del tfeats
+                # variant-consistent bounds for ALL masks of this
+                # partition (per-shift max on the MXU; features and the
+                # in-jit mirror flip never materialized in HBM)
+                bounds_all = screen.bounds_from_words(screen_u_matrix,
+                                                      words)
             jax.block_until_ready(packed)
             stage_totals["pack"] += time.perf_counter() - t0
-            # launch masks' (compacted) kernel calls ahead of the drain —
-            # a bounded launch window overlaps host result handling with
-            # device compute without holding too many gather buffers live
+            # launch EVERY mask's (compacted) kernel calls up front:
+            # compaction gathers run inside each dispatch (freed when the
+            # program completes) and the queued outputs are tiny [ck, 2S]
+            # sums, so no launch-ahead bound is needed; drain in mask
+            # batches so each tunnel round-trip amortizes over many masks
+            # while results still stream to the writer incrementally
             t0 = time.perf_counter()
-            from collections import deque
-            window = deque()
-            # each in-flight mask may hold a compaction gather
-            # (2 x chunk x padded-frame) live in HBM — keep the
-            # launch-ahead shallow
-            AHEAD = 4
+            from ..cds.pixel_pallas import drain_deferred
 
             def launch(bi_m, mask, eng):
                 survivors = None
@@ -313,20 +311,17 @@ def run(args: argparse.Namespace) -> int:
                     survivors = (bounds_all[bi_m] > thr).astype(np.int32)
                     stage_totals["screened"] = stage_totals.get("screened", 0) \
                         + int((survivors == 0).sum())
-                window.append(
-                    (mask, eng,
-                     eng.score_packed_deferred(packed, survivors=survivors)))
+                return (mask, eng,
+                        eng.score_packed_deferred(packed, survivors=survivors))
 
-            for bi_m, (mask, eng) in enumerate(prepared):
-                launch(bi_m, mask, eng)
-                if len(window) >= AHEAD:
-                    m_, e_, fin = window.popleft()
-                    s, _, mm = fin()
+            launched = [launch(bi_m, mask, eng)
+                        for bi_m, (mask, eng) in enumerate(prepared)]
+            DRAIN_BATCH = 32
+            for b0 in range(0, len(launched), DRAIN_BATCH):
+                batch = launched[b0:b0 + DRAIN_BATCH]
+                for (m_, e_, _), (s, _, mm) in zip(
+                        batch, drain_deferred([d for _, _, d in batch])):
                     yield s[None], mm[None], [(m_, e_.tiles.query_size)]
-            while window:
-                m_, e_, fin = window.popleft()
-                s, _, mm = fin()
-                yield s[None], mm[None], [(m_, e_.tiles.query_size)]
             stage_totals["score"] += time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
@@ -406,10 +401,26 @@ def run(args: argparse.Namespace) -> int:
 
     stage_totals = {"decode": 0.0, "pack": 0.0, "score": 0.0, "collect": 0.0}
 
-    for part in target_parts:
+    # decode prefetch: partition i+1's images decode on a host thread
+    # while the device scores partition i (the reference overlaps decode
+    # and compare inside one thread pool, CmdUtils.java:17-40; here the
+    # device does the comparing so one look-ahead decode suffices)
+    from concurrent.futures import ThreadPoolExecutor
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+
+    def decode(part):
+        return _load_target_images(part, cache,
+                                   workers=args.cdsConcurrency or 8)
+
+    pending_decode = None
+    for pi, part in enumerate(target_parts):
         t0 = time.perf_counter()
-        t_imgs, t_entities = _load_target_images(
-            part, cache, workers=args.cdsConcurrency or 8)
+        if pending_decode is None:
+            t_imgs, t_entities = decode(part)
+        else:
+            t_imgs, t_entities = pending_decode.result()
+        if pi + 1 < len(target_parts):
+            pending_decode = prefetcher.submit(decode, target_parts[pi + 1])
         stage_totals["decode"] += time.perf_counter() - t0
         if not t_imgs:
             continue
@@ -435,6 +446,7 @@ def run(args: argparse.Namespace) -> int:
                     target.add_processed_tag(ProcessingType.ColorDepthSearch, run_tag)
                     all_matches.append(m)
         maybe_flush()
+    prefetcher.shutdown(wait=False)
 
     n_groups = 0
     if multi:

@@ -95,3 +95,51 @@ def test_bound_dominates_exact_random():
     for i in range(4):
         exact = oracle.score(image_from_array(t[i])).matching_pixels
         assert bounds[i] >= exact, (i, bounds[i], exact)
+
+
+@pytest.mark.parametrize("em", ["12191_JRC2018U.tif"])
+def test_variant_bound_dominates_exact_fixtures(fixtures_dir, em):
+    """bounds_from_words (per-shift max, undilated windows) >= exact."""
+    import os
+    query = load_image(fixtures_dir / "ems" / em)
+    excluded = label_regions_mask(query.height, query.width)
+    qp = prepare_query_planes(query, 20, excluded)
+
+    lm_names = sorted(os.listdir(fixtures_dir / "lms"))
+    targets = [load_image(fixtures_dir / "lms" / n) for n in lm_names]
+    t_words = _target_words([t.pixels for t in targets])
+
+    screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2,
+                           query.height, query.width)
+    u = screen.query_features(qp.words)
+    bounds = screen.bounds_from_words(u[None], t_words)[0]
+
+    # tightness: never looser than the dilated single bound
+    tfeats = screen.target_features(t_words, t_words[:, :, ::-1])
+    dilated = screen.bounds(u[None], tfeats)[0]
+    assert (bounds <= dilated + 1e-3).all(), (bounds, dilated)
+
+    oracle = PixelMatchOracle(query, 20, True, 20, 0.01, 2, excluded)
+    for i, t in enumerate(targets):
+        exact = oracle.score(t).matching_pixels
+        assert bounds[i] >= exact, (em, lm_names[i], bounds[i], exact)
+
+
+def test_variant_bound_dominates_exact_random():
+    rng = np.random.default_rng(17)
+    h, w = 48, 160
+    q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    q[rng.random((h, w)) < 0.7] = 0
+    t = rng.integers(0, 256, size=(5, h, w, 3)).astype(np.uint8)
+    t[rng.random((5, h, w)) < 0.5] = 0
+    query = image_from_array(q)
+    qp = prepare_query_planes(query, 20, None)
+    t_words = _target_words(list(t))
+    for fluct, xy in ((2.0, 2), (1.0, 0), (1.0, 4)):
+        screen = PairPrescreen(z_tolerance_to_zt9(fluct), xy, h, w)
+        bounds = screen.bounds_from_words(
+            screen.query_features(qp.words)[None], t_words)[0]
+        oracle = PixelMatchOracle(query, 20, True, 20, fluct / 100, xy, None)
+        for i in range(len(t)):
+            exact = oracle.score(image_from_array(t[i])).matching_pixels
+            assert bounds[i] >= exact, (fluct, xy, i, bounds[i], exact)
