@@ -263,6 +263,12 @@ def _bench_twophase():
     results, stage = run_round()  # warm-up / compile + golden check
     scores0 = results[0][0]
     assert 439 in scores0, ("golden score check failed", scores0[:8])
+    # screen tightness: fraction of pairs that TRULY pass the keep
+    # threshold (survivor_rate - true_rate = the screen's slack)
+    n_true = sum(int((s > thr[i % B]).sum())
+                 for i, (s, _, _) in enumerate(results))
+    _log(f"[twophase] true match rate "
+         f"{n_true / (B * T):.3%} vs survivors {stage['survivor_rate']:.3%}")
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()

@@ -120,8 +120,10 @@ def bin_plane_from_words(words, xp=jnp):
 
 
 def query_features(words: np.ndarray) -> np.ndarray:
-    """f32 [npos * N_BINS] subtile-bin counts for a query (host);
-    npos = gh * gw * (TILE_W // SUBTILE_W) row-major positions."""
+    """[npos * N_BINS] subtile-bin counts for a query (host);
+    npos = gh * gw * (TILE_W // SUBTILE_W) row-major positions.
+    uint8 when the cell size guarantees counts <= 255 (4x cheaper to
+    upload/store than f32; the bound matmul upcasts on device)."""
     h, w = words.shape
     gh = -(-h // TILE_H)
     gw = -(-w // TILE_W)
@@ -130,9 +132,10 @@ def query_features(words: np.ndarray) -> np.ndarray:
     padded[:h, :w] = bin_plane_from_words(words.astype(np.int64), xp=np)
     tiles = padded.reshape(gh, TILE_H, gwn, SUBTILE_W).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(gh * gwn, TILE_H * SUBTILE_W)
-    feats = np.zeros((gh * gwn, N_BINS), dtype=np.float32)
+    dt = np.uint8 if TILE_H * SUBTILE_W <= 255 else np.float32
+    feats = np.zeros((gh * gwn, N_BINS), dtype=dt)
     for j in range(N_BINS):
-        feats[:, j] = (tiles == j).sum(axis=1)
+        feats[:, j] = (tiles == j).sum(axis=1).astype(dt)
     return feats.reshape(-1)
 
 
@@ -255,6 +258,7 @@ def _bounds_matmul(u, wd, wm):
         bd = jnp.matmul(ub, wd.T, preferred_element_type=jnp.float32)
         bm = jnp.matmul(ub, wm.T, preferred_element_type=jnp.float32)
     else:
+        u = u.astype(jnp.float32)
         try:
             bd = jnp.matmul(u, wd.T, precision="float32")
             bm = jnp.matmul(u, wm.T, precision="float32")
