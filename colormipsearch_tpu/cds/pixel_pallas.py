@@ -34,6 +34,7 @@ pool fan-out, cmd/cdsprocess/LocalColorMIPSearchProcessor.java:93-112).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -249,6 +250,13 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
         coords[i, 1] = tx * TILE_W
     return ActiveTiles(q_tiles=q_tiles, coords=coords, n_active=n_active,
                        query_size=planes.query_size, height=h, width=w)
+
+
+def _dev_ctx(device):
+    """Placement context: arrays created/jitted inside go to `device`
+    (None = the process default device; unchanged single-device path)."""
+    return (jax.default_device(device) if device is not None
+            else contextlib.nullcontext())
 
 
 NV_PAD = 32  # accumulator sublanes (>= 2 * n_shifts)
@@ -496,7 +504,7 @@ class ActiveTilePixelEngine:
         self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "1"))
         self._sparse_feed = _os.environ.get("CMS_SPARSE_FEED", "1") == "1"
         self.tiles = build_active_tiles(self.planes, self.pad)
-        self._dev_query = None
+        self._dev_query = {}  # device (None = default) -> (coords, q_tiles)
 
     def _pack_block(self, t_block_u8):
         from .pixel_kernel import pack_planes
@@ -531,7 +539,7 @@ class ActiveTilePixelEngine:
                               t * h * w)
         return flat.reshape(t, h, w)
 
-    def pack_raw_words(self, targets_u8: np.ndarray):
+    def pack_raw_words(self, targets_u8: np.ndarray, device=None):
         """Device-packed [T, H, W] scorer words (unpadded frame); also
         the input for the MXU prescreen's target features. Built in
         DEVICE_BLOCK-target sub-programs (see _place_block), each fed
@@ -547,15 +555,16 @@ class ActiveTilePixelEngine:
                     return out
             return self._pack_block(tb)
 
-        blk = DEVICE_BLOCK
-        if tsz <= blk:
-            return block(targets_u8)
-        out = jnp.zeros((tsz, h, w), jnp.int32)
-        for i in range(0, tsz, blk):
-            out = _place_block(out, block(targets_u8[i:i + blk]), i)
-        return out
+        with _dev_ctx(device):
+            blk = DEVICE_BLOCK
+            if tsz <= blk:
+                return block(targets_u8)
+            out = jnp.zeros((tsz, h, w), jnp.int32)
+            for i in range(0, tsz, blk):
+                out = _place_block(out, block(targets_u8[i:i + blk]), i)
+            return out
 
-    def pad_from_words(self, words):
+    def pad_from_words(self, words, device=None):
         """Tile-aligned ring-padded frame (+ x-flip) from raw words.
         Blocked like pack_raw_words to bound per-program working sets."""
         tsz, h, w = words.shape
@@ -565,30 +574,39 @@ class ActiveTilePixelEngine:
         # super-tile window in-bounds AND (8, 128)-aligned for HBM DMA
         spec = ((0, 0), (TILE_H, gh * TILE_H - h + TILE_H),
                 (TILE_W, gw * TILE_W - w + TILE_W))
-        blk = DEVICE_BLOCK
-        if tsz <= blk:
-            return _pad_block(words, spec)
-        hp, wp = gh * TILE_H + 2 * TILE_H, gw * TILE_W + 2 * TILE_W
-        padded = jnp.zeros((tsz, hp, wp), jnp.int32)
-        flipped = jnp.zeros((tsz, hp, wp), jnp.int32)
-        for i in range(0, tsz, blk):
-            pb, fb = _pad_block(words[i:i + blk], spec)
-            padded = _place_block(padded, pb, i)
-            flipped = _place_block(flipped, fb, i)
-        return padded, flipped
+        with _dev_ctx(device):
+            blk = DEVICE_BLOCK
+            if tsz <= blk:
+                return _pad_block(words, spec)
+            hp, wp = gh * TILE_H + 2 * TILE_H, gw * TILE_W + 2 * TILE_W
+            padded = jnp.zeros((tsz, hp, wp), jnp.int32)
+            flipped = jnp.zeros((tsz, hp, wp), jnp.int32)
+            for i in range(0, tsz, blk):
+                pb, fb = _pad_block(words[i:i + blk], spec)
+                padded = _place_block(padded, pb, i)
+                flipped = _place_block(flipped, fb, i)
+            return padded, flipped
 
-    def prepare_targets(self, targets_u8: np.ndarray):
+    def prepare_targets(self, targets_u8: np.ndarray, device=None):
         """Pack targets into the tile-aligned padded frame (+ x-flip)."""
-        return self.pad_from_words(self.pack_raw_words(targets_u8))
+        return self.pad_from_words(self.pack_raw_words(targets_u8, device),
+                                   device)
 
-    def _query_dev(self):
-        """Device-cached (coords, q_tiles) — uploaded once per engine."""
-        if self._dev_query is None:
-            self._dev_query = (jnp.asarray(self.tiles.coords),
-                               jnp.asarray(self.tiles.q_tiles))
-        return self._dev_query
+    def _query_dev(self, device=None):
+        """Device-cached (coords, q_tiles) — uploaded once per engine
+        per device (keyed by device; None = process default)."""
+        got = self._dev_query.get(device)
+        if got is None:
+            if device is None:
+                got = (jnp.asarray(self.tiles.coords),
+                       jnp.asarray(self.tiles.q_tiles))
+            else:
+                got = (jax.device_put(self.tiles.coords, device),
+                       jax.device_put(self.tiles.q_tiles, device))
+            self._dev_query[device] = got
+        return got
 
-    def _call_kernel(self, t_padded, t_flipped, surv):
+    def _call_kernel(self, t_padded, t_flipped, surv, device=None):
         """Raw per-variant sums [tsz, 2*S] for one packed block (DEVICE
         array — caller converts; keeping it deferred lets a mask sweep
         queue many kernel launches without a host sync per mask)."""
@@ -600,11 +618,12 @@ class ActiveTilePixelEngine:
         tg = self.target_group
         while tb % tg:
             tg //= 2
-        coords, q_tiles = self._query_dev()
-        return _active_tile_call(
-            coords, surv, q_tiles,
-            t_padded, t_flipped, self.zt9, self.pad, self.shifts,
-            tb, max(tg, 1), self.interpret)
+        coords, q_tiles = self._query_dev(device)
+        with _dev_ctx(device):
+            return _active_tile_call(
+                coords, surv, q_tiles,
+                t_padded, t_flipped, self.zt9, self.pad, self.shifts,
+                tb, max(tg, 1), self.interpret)
 
     # survivor-compaction chunk: ONE extra static kernel shape (tsz=64)
     # shared by every mask/partition, per the one-compile-per-shape
@@ -615,7 +634,7 @@ class ActiveTilePixelEngine:
     COMPACT_CHUNK = int(__import__("os").environ.get("CMS_COMPACT_CHUNK",
                                                      "64"))
 
-    def score_packed_deferred(self, packed, survivors=None):
+    def score_packed_deferred(self, packed, survivors=None, device=None):
         """Launch the exact sweep and return a callable DeferredScore.
 
         survivors: optional uint8/int32 [T] bitmap from the MXU
@@ -635,8 +654,10 @@ class ActiveTilePixelEngine:
         pending = []  # (dest_idx or None, device_out, n_real)
         surv_np = None
         if survivors is None:
+            with _dev_ctx(device):
+                ones = jnp.ones((tsz,), jnp.int32)
             pending.append((None, self._call_kernel(
-                t_padded, t_flipped, jnp.ones((tsz,), jnp.int32)), tsz))
+                t_padded, t_flipped, ones, device), tsz))
         else:
             surv_np = np.asarray(survivors).astype(np.int32)
             idx = np.nonzero(surv_np)[0]
@@ -645,7 +666,7 @@ class ActiveTilePixelEngine:
             if ns == 0:
                 pass
             elif ns <= tsz // 4 and tsz > ck:
-                coords, q_tiles = self._query_dev()
+                coords, q_tiles = self._query_dev(device)
                 tb = min(self.target_block, ck)
                 tg = self.target_group
                 while tb % tg:
@@ -656,15 +677,18 @@ class ActiveTilePixelEngine:
                 for c0 in range(0, padded_n, ck):
                     surv_c = np.zeros(ck, dtype=np.int32)
                     surv_c[:max(ns - c0, 0)] = 1
-                    oc = _compact_call(
-                        coords, surv_c, q_tiles, t_padded, t_flipped,
-                        idx_pad[c0:c0 + ck], self.zt9, self.pad,
-                        self.shifts, tb, max(tg, 1), self.interpret)
+                    with _dev_ctx(device):
+                        oc = _compact_call(
+                            coords, surv_c, q_tiles, t_padded, t_flipped,
+                            idx_pad[c0:c0 + ck], self.zt9, self.pad,
+                            self.shifts, tb, max(tg, 1), self.interpret)
                     real = min(ck, ns - c0)
                     pending.append((idx_pad[c0:c0 + real], oc, real))
             else:
+                with _dev_ctx(device):
+                    surv_dev = jnp.asarray(surv_np)
                 pending.append((None, self._call_kernel(
-                    t_padded, t_flipped, jnp.asarray(surv_np)), tsz))
+                    t_padded, t_flipped, surv_dev, device), tsz))
         return DeferredScore(self, tsz, pending, surv_np)
 
     def score_packed(self, packed, survivors=None

@@ -34,7 +34,12 @@ import numpy as np
 
 from .pixel_kernel import PAIR_K9
 
-NB = 10          # ratio bins per sector (width 0.1 >= any sane zTolerance)
+# ratio bins per sector. Bin width 1/NB must stay >= zTolerance
+# (compat_matrix asserts); finer bins shrink the compat relation's
+# relative breadth (same-sector compat spans bins within zTol, so the
+# compatible fraction is ~(1 + 2*NB*zTol)/NB) at linear feature-size
+# cost — the single biggest tightness lever for dense-overlap pairs.
+NB = int(__import__("os").environ.get("CMS_PRESCREEN_NB", "10"))
 N_SECT = 6
 N_BINS = N_SECT * NB
 TILE_H = 8
@@ -154,9 +159,9 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
     gh, gw = grid_hw
     tsz, h, w = t_words.shape
     pad = max(xy_shift, 0)
-    # bin presence as TWO int32 bitmask planes (bins 0..29 / 30..59):
-    # one OR-reduction over the expanded tile replaces 60 boolean passes
-    words2 = _bitmask_planes(t_words, flip)  # [T, 2, H, W]
+    # bin presence as int32 bitmask planes (30 bins per plane): one
+    # OR-reduction over the expanded tile replaces N_BINS boolean passes
+    words2 = _bitmask_planes(t_words, flip)  # [T, N_PLANES, H, W]
     if pad:
         # rectangular OR-dilation is separable: two 1-D passes do
         # 2*(2p+1) reads/px instead of (2p+1)^2
@@ -167,15 +172,12 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
             words2, 0, jax.lax.bitwise_or,
             (1, 1, 1, 2 * pad + 1), (1, 1, 1, 1), "same")
     gwn = gw * (TILE_W // SUBTILE_W)
-    padded = jnp.zeros((tsz, 2, gh * TILE_H, gw * TILE_W), jnp.int32)
+    padded = jnp.zeros((tsz, N_PLANES, gh * TILE_H, gw * TILE_W), jnp.int32)
     padded = padded.at[:, :, :h, :w].set(words2)
-    tiles = padded.reshape(tsz, 2, gh, TILE_H, gwn, SUBTILE_W)
+    tiles = padded.reshape(tsz, N_PLANES, gh, TILE_H, gwn, SUBTILE_W)
     tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or, (3, 5))
-    tile_or = tile_or.reshape(tsz, 2, gh * gwn)  # [T, 2, npos]
-    k_ids = jnp.arange(30, dtype=jnp.int32)
-    pres_lo = ((tile_or[:, 0, :, None] >> k_ids) & 1)  # [T, npos, 30]
-    pres_hi = ((tile_or[:, 1, :, None] >> k_ids) & 1)
-    presence = jnp.concatenate([pres_lo, pres_hi], axis=-1).astype(jnp.float32)
+    tile_or = tile_or.reshape(tsz, N_PLANES, gh * gwn)  # [T, P, npos]
+    presence = _presence_from_bits(tile_or)
     compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
     w01 = (presence @ compat.T) > 0                               # [T, npos, J]
     # bf16 halves feature HBM and doubles MXU rate; exact because the
@@ -184,18 +186,119 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
     return w01.astype(dt).reshape(tsz, -1)
 
 
+N_PLANES = -(-N_BINS // 30)  # 30 presence bits per int32 plane
+
+
 def _bitmask_planes(t_words, flip: bool):
-    """[T, 2, H, W] int32 bin-presence bitmask planes (bins 0..29 in
-    plane 0, 30..59 in plane 1), undilated."""
+    """[T, N_PLANES, H, W] int32 bin-presence bitmask planes (bins
+    packed 30 per plane), undilated."""
     if flip:
         t_words = t_words[:, :, ::-1]
     bins = bin_plane_from_words(t_words)
     valid = bins >= 0
-    lo_bit = jnp.where(valid & (bins < 30), jnp.int32(1) << jnp.where(
-        bins < 30, jnp.maximum(bins, 0), 0), 0)
-    hi_bit = jnp.where(valid & (bins >= 30), jnp.int32(1) << jnp.where(
-        bins >= 30, bins - 30, 0), 0)
-    return jnp.stack([lo_bit, hi_bit], axis=1)
+    planes = []
+    for p in range(N_PLANES):
+        lo, hi = 30 * p, 30 * (p + 1)
+        here = valid & (bins >= lo) & (bins < hi)
+        planes.append(jnp.where(
+            here, jnp.int32(1) << jnp.where(here, bins - lo, 0), 0))
+    return jnp.stack(planes, axis=1)
+
+
+def _presence_from_bits(tile_or):
+    """[T, npos, N_BINS] f32 presence from [T, N_PLANES, npos] bitmasks."""
+    k_ids = jnp.arange(30, dtype=jnp.int32)
+    parts = [(tile_or[:, p, :, None] >> k_ids) & 1 for p in range(N_PLANES)]
+    return jnp.concatenate(parts, axis=-1)[..., :N_BINS].astype(jnp.float32)
+
+
+def _sliding_cell_stats(t_words, flip: bool, pad: int, grid_hw):
+    """Sliding-window (TILE_H x SUBTILE_W) statistics over the pad-ringed
+    tile-aligned frame, computed ONCE and sliced per shift offset:
+      or_full  [T, 2, Hc-TILE_H+1, Wc-SUBTILE_W+1]  bin-presence bitmasks
+      cnt_full [T,    Hc-TILE_H+1, Wc-SUBTILE_W+1]  bin-valid pixel counts
+    (separable two-pass reductions; replaces one full reduce per offset).
+    """
+    gh, gw = grid_hw
+    tsz, h, w = t_words.shape
+    words2 = _bitmask_planes(t_words, flip)               # [T, 2, H, W]
+    hc = gh * TILE_H + 2 * pad
+    wc = gw * TILE_W + 2 * pad
+    canvas = jnp.zeros((tsz, N_PLANES, hc, wc), jnp.int32)
+    canvas = canvas.at[:, :, pad:pad + h, pad:pad + w].set(words2)
+    cnt = (jax.lax.reduce(canvas, np.int32(0), jax.lax.bitwise_or, (1,))
+           != 0).astype(jnp.int32)
+    or_full = jax.lax.reduce_window(
+        canvas, 0, jax.lax.bitwise_or,
+        (1, 1, TILE_H, 1), (1, 1, 1, 1), "valid")
+    or_full = jax.lax.reduce_window(
+        or_full, 0, jax.lax.bitwise_or,
+        (1, 1, 1, SUBTILE_W), (1, 1, 1, 1), "valid")
+    cnt_full = jax.lax.reduce_window(
+        cnt, 0, jax.lax.add, (1, TILE_H, 1), (1, 1, 1), "valid")
+    cnt_full = jax.lax.reduce_window(
+        cnt_full, 0, jax.lax.add, (1, 1, SUBTILE_W), (1, 1, 1), "valid")
+    return or_full, cnt_full
+
+
+def _cell_slice(full, pad: int, dx: int, dy: int, grid_hw):
+    """Strided slice picking the cell grid shifted by (dx, dy)."""
+    gh, gw = grid_hw
+    gwn = gw * (TILE_W // SUBTILE_W)
+    r0, c0 = pad + dy, pad + dx
+    lead = full.ndim - 2
+    start = (0,) * lead + (r0, c0)
+    stop = full.shape[:lead] + (r0 + (gh - 1) * TILE_H + 1,
+                                c0 + (gwn - 1) * SUBTILE_W + 1)
+    strides = (1,) * lead + (TILE_H, SUBTILE_W)
+    out = jax.lax.slice(full, start, stop, strides)
+    return out.reshape(full.shape[:lead - 1] + (-1, gh * gwn))
+
+
+@functools.partial(jax.jit, static_argnames=("zt9", "offsets", "grid_hw",
+                                             "flip"))
+def _variant_block_bounds_capped(u3, t_words, zt9: int, offsets, grid_hw,
+                                 flip: bool) -> jnp.ndarray:
+    """Count-capped per-offset-max upper bounds [B, T'].
+
+    Strictly tighter than _variant_block_bounds: with one GLOBAL offset
+    o the sampling map p -> p+o is injective, so a cell's contribution
+    is also bounded by the number of bin-valid target pixels in the
+    shifted cell:
+
+      score_o <= sum_C min( sum_j u[C, j] * w01[C+o, j],  tcnt[C+o] )
+
+    The presence bound alone lets ONE compatible target pixel validate
+    up to TILE_H*SUBTILE_W query pixels of its cell; the count cap
+    removes exactly that slack, which dominates for the sparse-overlap
+    pairs that make up most of a diverse library. All arithmetic is
+    integer-exact (counts <= TILE_H*SUBTILE_W in bf16, f32 accumulation,
+    partial sums < 2^24), so the bound never rounds below the score.
+    """
+    tsz = t_words.shape[0]
+    pad = max((max(abs(dx), abs(dy)) for dx, dy in offsets), default=0)
+    or_full, cnt_full = _sliding_cell_stats(t_words, flip, pad, grid_hw)
+    compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
+    ub = u3.astype(jnp.bfloat16)              # [B, npos, N_BINS], exact
+    bsz, npos = ub.shape[0], ub.shape[1]
+    # chunk the per-cell [B, T', chunk] temp to ~128 MB
+    chunk = max(1, min(npos, (128 << 20) // max(bsz * tsz * 4, 1)))
+    best = None
+    for dx, dy in offsets:
+        tile_or = _cell_slice(or_full, pad, dx, dy, grid_hw)  # [T, P, npos]
+        cnts = _cell_slice(cnt_full, pad, dx, dy, grid_hw)    # [T, npos]
+        pres = _presence_from_bits(tile_or)                   # [T, npos, K]
+        w01 = ((pres @ compat.T) > 0).astype(jnp.bfloat16)    # [T, npos, J]
+        cnts_f = cnts.astype(jnp.float32)
+        bound_o = jnp.zeros((bsz, tsz), jnp.float32)
+        for p0 in range(0, npos, chunk):
+            s = jnp.einsum("bpj,tpj->btp",
+                           ub[:, p0:p0 + chunk], w01[:, p0:p0 + chunk],
+                           preferred_element_type=jnp.float32)
+            capped = jnp.minimum(s, cnts_f[None, :, p0:p0 + chunk])
+            bound_o = bound_o + capped.sum(axis=2)
+        best = bound_o if best is None else jnp.maximum(best, bound_o)
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("zt9", "offsets", "grid_hw",
@@ -219,23 +322,19 @@ def _variant_block_bounds(u, t_words, zt9: int, offsets, grid_hw,
     pad = max((max(abs(dx), abs(dy)) for dx, dy in offsets), default=0)
     gwn = gw * (TILE_W // SUBTILE_W)
     # one padded canvas; each offset is a static slice of it
-    canvas = jnp.zeros((tsz, 2, gh * TILE_H + 2 * pad, gw * TILE_W + 2 * pad),
-                       jnp.int32)
+    canvas = jnp.zeros((tsz, N_PLANES, gh * TILE_H + 2 * pad,
+                        gw * TILE_W + 2 * pad), jnp.int32)
     canvas = canvas.at[:, :, pad:pad + h, pad:pad + w].set(words2)
     compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
-    k_ids = jnp.arange(30, dtype=jnp.int32)
     ub = u.astype(jnp.bfloat16)  # exact: integer counts <= 256
     best = None
     for dx, dy in offsets:
         sh = canvas[:, :, pad + dy:pad + dy + gh * TILE_H,
                     pad + dx:pad + dx + gw * TILE_W]
-        tiles = sh.reshape(tsz, 2, gh, TILE_H, gwn, SUBTILE_W)
+        tiles = sh.reshape(tsz, N_PLANES, gh, TILE_H, gwn, SUBTILE_W)
         tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or,
-                                 (3, 5)).reshape(tsz, 2, gh * gwn)
-        pres = jnp.concatenate(
-            [(tile_or[:, 0, :, None] >> k_ids) & 1,
-             (tile_or[:, 1, :, None] >> k_ids) & 1],
-            axis=-1).astype(jnp.float32)                          # [T,np,K]
+                                 (3, 5)).reshape(tsz, N_PLANES, gh * gwn)
+        pres = _presence_from_bits(tile_or)                       # [T,np,K]
         w01 = ((pres @ compat.T) > 0).astype(jnp.bfloat16)
         b = jnp.matmul(ub, w01.reshape(tsz, -1).T,
                        preferred_element_type=jnp.float32)        # [B, T']
@@ -327,30 +426,51 @@ class PairPrescreen:
             return np.asarray(_bounds_matmul(jnp.asarray(u_block), wd, wm))
         return np.maximum(u_block @ wd.T, u_block @ wm.T)
 
-    def bounds_from_words(self, u_matrix, t_words) -> np.ndarray:
+    # count-capped per-cell bound (default; CMS_PRESCREEN_CAP=0 reverts
+    # to the pure presence bound for comparison)
+    USE_COUNT_CAP = __import__("os").environ.get(
+        "CMS_PRESCREEN_CAP", "1") == "1"
+
+    def bounds_from_words(self, u_matrix, t_words, device=None) -> np.ndarray:
         """Variant-consistent bounds [B, T] straight from packed words.
 
-        Tighter than target_features + bounds (see _variant_block_bounds)
-        and never materializes target features in HBM; computed in
-        FEATURE_BLOCK target sub-blocks padded to one static shape."""
+        Tighter than target_features + bounds (see
+        _variant_block_bounds_capped) and never materializes target
+        features in HBM; computed in FEATURE_BLOCK target sub-blocks
+        padded to one static shape. `device` pins the computation to one
+        local device (multi-device sweeps screen each target shard on
+        the device that will score it)."""
+        import contextlib
+        ctx = (jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
         offsets = _ring_offsets(self.xy_shift)
-        u_dev = jnp.asarray(u_matrix)
-        tsz = t_words.shape[0]
-        blk = self.FEATURE_BLOCK
-        outs = []
-        for i in range(0, tsz, blk):
-            wb = t_words[i:i + blk]
-            short = blk - wb.shape[0]
-            if short:  # pad to the one compiled shape; word 0 = unsel
-                wb = jnp.concatenate(
-                    [wb, jnp.zeros((short,) + wb.shape[1:], wb.dtype)])
-            bd = _variant_block_bounds(u_dev, wb, self.zt9, offsets,
-                                       self.grid_hw, False)
-            bm = _variant_block_bounds(u_dev, wb, self.zt9, offsets,
-                                       self.grid_hw, True)
-            b = np.asarray(jnp.maximum(bd, bm))
-            outs.append(b[:, :blk - short] if short else b)
-        return np.concatenate(outs, axis=1)
+        with ctx:
+            u_dev = jnp.asarray(u_matrix)
+            if self.USE_COUNT_CAP:
+                u_dev = u_dev.reshape(u_dev.shape[0], -1, N_BINS)
+            tsz = t_words.shape[0]
+            blk = self.FEATURE_BLOCK
+            outs = []
+            shorts = []
+            for i in range(0, tsz, blk):
+                wb = t_words[i:i + blk]
+                short = blk - wb.shape[0]
+                if short:  # pad to the one compiled shape; word 0 = unsel
+                    wb = jnp.concatenate(
+                        [wb, jnp.zeros((short,) + wb.shape[1:], wb.dtype)])
+                fn = (_variant_block_bounds_capped if self.USE_COUNT_CAP
+                      else _variant_block_bounds)
+                bd = fn(u_dev, wb, self.zt9, offsets, self.grid_hw, False)
+                bm = fn(u_dev, wb, self.zt9, offsets, self.grid_hw, True)
+                # keep per-block bounds on device; ONE batched pull at the
+                # end (a per-block np.asarray would serialize every block
+                # behind a full tunnel round-trip)
+                outs.append(jnp.maximum(bd, bm))
+                shorts.append(short)
+        hosts = jax.device_get(outs)
+        return np.concatenate(
+            [b[:, :blk - s] if s else b for b, s in zip(hosts, shorts)],
+            axis=1)
 
 
 @functools.lru_cache(maxsize=8)

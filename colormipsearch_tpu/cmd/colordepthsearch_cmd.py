@@ -141,34 +141,47 @@ def _read_mips(files: List[str], index: int, length: int):
 def _load_target_images(targets, cache: MIPsCache, workers: int = 8):
     """Decode a target partition with a thread pool (PIL releases the
     GIL during decode). Counterpart of the reference's I/O-side
-    parallelism (LocalColorMIPSearchProcessor's executor, P1/P4)."""
+    parallelism (LocalColorMIPSearchProcessor's executor, P1/P4).
+
+    Returns (pixel arrays, entities, failed) where failed is a list of
+    (target, error message) — one corrupt/missing/mis-sized image must
+    not kill the partition, and the failure must be REPORTED per pair
+    downstream, exactly like the reference's per-pair Throwable capture
+    into CDMatchEntity.errors (AbstractColorMIPSearchProcessor.java:
+    58-85)."""
     from concurrent.futures import ThreadPoolExecutor
 
     def load(t):
-        return t, cache.load_mip(t, ComputeFileType.InputColorDepthImage)
+        try:
+            return t, cache.load_mip(t, ComputeFileType.InputColorDepthImage), None
+        except Exception as e:  # decode/IO failure — capture, don't kill
+            return t, None, f"{type(e).__name__}: {e}"
 
-    loaded, entities = [], []
+    loaded, entities, failed = [], [], []
     shape = None
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for t, mip in pool.map(load, targets):
+        for t, mip, err in pool.map(load, targets):
+            if err is not None:
+                LOG.warning("target %s failed to load: %s", t.mip_id, err)
+                failed.append((t, err))
+                continue
             if mip.image is None:
                 LOG.warning("no input image for target %s", t.mip_id)
+                failed.append((t, "no input image"))
                 continue
             px = (mip.image.pixels if mip.image.pixels.ndim == 3
                   else np.repeat(mip.image.pixels[..., None], 3, axis=2))
-            # one bad-sized image must not kill the partition (the
-            # reference catches per-pair exceptions,
-            # AbstractColorMIPSearchProcessor.java:80-83; here size
-            # mismatches surface at batch-stack time, so filter them)
             if shape is None:
                 shape = px.shape
             elif px.shape != shape:
                 LOG.warning("target %s has size %s, expected %s — skipped",
                             t.mip_id, px.shape, shape)
+                failed.append((t, f"image size {px.shape} != mask size "
+                                  f"{shape}"))
                 continue
             loaded.append(px)
             entities.append(t)
-    return loaded, entities
+    return loaded, entities, failed
 
 
 def run(args: argparse.Namespace) -> int:
@@ -237,12 +250,6 @@ def run(args: argparse.Namespace) -> int:
     target_parts = partition_collection(targets, args.processingPartitionSize)
     ratio_threshold = (args.pctPositivePixels or 0.0) / 100.0
     engine_kind = _pick_engine(args.engine)
-    if multi and engine_kind == "pallas":
-        # the active-tile pallas kernel is single-device; the global-mesh
-        # path uses the dense kernel under shard_map (P2 semantics).
-        LOG.info("jax-distributed run: using the dense engine on the "
-                 "global mesh")
-        engine_kind = "dense"
     LOG.info("scoring engine: %s", engine_kind)
 
     # prepare query planes / engines once per mask (host side)
@@ -267,62 +274,70 @@ def run(args: argparse.Namespace) -> int:
                 mip.image, args.maskThreshold, excluded)))
 
     use_screen = (engine_kind == "pallas" and args.prescreen == "on")
-    screen = None
-    screen_u_matrix = None
-    if use_screen and prepared:
-        from ..cds.prescreen import PairPrescreen
-        first_eng = prepared[0][1]
-        screen = PairPrescreen(zt9, args.xyShift,
-                               first_eng.tiles.height, first_eng.tiles.width)
-        # one [B, F] feature matrix: bounds for ALL masks of a partition
-        # are a single MXU matmul; uploaded once for the whole run
-        screen_u_matrix = jnp.asarray(np.stack([
-            screen.query_features(eng.planes.words) for _, eng in prepared]))
+    sweep = None
+    if engine_kind == "pallas" and prepared:
+        from ..parallel.pallas_sweep import TwoPhaseSweep
+        screen = None
+        u_matrix = None
+        thresholds = None
+        if use_screen:
+            from ..cds.prescreen import PairPrescreen
+            first_eng = prepared[0][1]
+            screen = PairPrescreen(zt9, args.xyShift,
+                                   first_eng.tiles.height,
+                                   first_eng.tiles.width)
+            # one [B, F] feature matrix: bounds for ALL masks of a
+            # partition are a single MXU matmul; uploaded once per device
+            u_matrix = np.stack([screen.query_features(eng.planes.words)
+                                 for _, eng in prepared])
+            thresholds = np.array(
+                [max(ratio_threshold * eng.tiles.query_size, 0.5)
+                 for _, eng in prepared])
+        # the production engine runs the SAME two-phase pipeline on every
+        # local device (target shards); multi-process runs add a process
+        # grid on top (reference parity: the same algorithm locally and
+        # on the cluster, SparkColorMIPSearchProcessor.java:27-84)
+        sweep = TwoPhaseSweep([eng for _, eng in prepared], screen,
+                              u_matrix, thresholds)
+
+    def _pallas_partition_scores(t_stack):
+        """Two-phase scores for one target partition: [B, T] int64 +
+        mirrored [B, T]. Multi-process runs sweep per-process target
+        blocks and allgather the rows (one writer still persists)."""
+        if not multi:
+            return sweep.sweep(t_stack, stage_totals)
+        import jax
+        from jax.experimental import multihost_utils
+        from ..parallel.pallas_sweep import device_blocks
+        pc, pid = jax.process_count(), jax.process_index()
+        blocks = device_blocks(t_stack.shape[0], pc)
+        off, ln = blocks[pid]
+        per = max((l for _, l in blocks), default=0)
+        bsz = len(prepared)
+        s = np.zeros((bsz, per), np.int64)
+        m = np.zeros((bsz, per), np.int8)
+        if ln:
+            s_l, m_l = sweep.sweep(t_stack[off:off + ln], stage_totals)
+            s[:, :ln] = s_l
+            m[:, :ln] = m_l
+        g_s, g_m = multihost_utils.process_allgather((s, m))
+        out_s = np.zeros((bsz, t_stack.shape[0]), np.int64)
+        out_m = np.zeros((bsz, t_stack.shape[0]), bool)
+        for p, (o, l) in enumerate(blocks):
+            out_s[:, o:o + l] = g_s[p][:, :l]
+            out_m[:, o:o + l] = g_m[p][:, :l].astype(bool)
+        return out_s, out_m
 
     def score_blocks(t_stack):
         """Yield (scores [B, T], mirrored [B, T], [(mask, query_size)])."""
         import jax
         if engine_kind == "pallas":
             t0 = time.perf_counter()
-            words = prepared[0][1].pack_raw_words(t_stack)
-            packed = prepared[0][1].pad_from_words(words)
-            bounds_all = None
-            if screen is not None:
-                # variant-consistent bounds for ALL masks of this
-                # partition (per-shift max on the MXU; features and the
-                # in-jit mirror flip never materialized in HBM)
-                bounds_all = screen.bounds_from_words(screen_u_matrix,
-                                                      words)
-            jax.block_until_ready(packed)
-            stage_totals["pack"] += time.perf_counter() - t0
-            # launch EVERY mask's (compacted) kernel calls up front:
-            # compaction gathers run inside each dispatch (freed when the
-            # program completes) and the queued outputs are tiny [ck, 2S]
-            # sums, so no launch-ahead bound is needed; drain in mask
-            # batches so each tunnel round-trip amortizes over many masks
-            # while results still stream to the writer incrementally
-            t0 = time.perf_counter()
-            from ..cds.pixel_pallas import drain_deferred
-
-            def launch(bi_m, mask, eng):
-                survivors = None
-                if bounds_all is not None:
-                    thr = max(ratio_threshold * eng.tiles.query_size, 0.5)
-                    survivors = (bounds_all[bi_m] > thr).astype(np.int32)
-                    stage_totals["screened"] = stage_totals.get("screened", 0) \
-                        + int((survivors == 0).sum())
-                return (mask, eng,
-                        eng.score_packed_deferred(packed, survivors=survivors))
-
-            launched = [launch(bi_m, mask, eng)
-                        for bi_m, (mask, eng) in enumerate(prepared)]
-            DRAIN_BATCH = 32
-            for b0 in range(0, len(launched), DRAIN_BATCH):
-                batch = launched[b0:b0 + DRAIN_BATCH]
-                for (m_, e_, _), (s, _, mm) in zip(
-                        batch, drain_deferred([d for _, _, d in batch])):
-                    yield s[None], mm[None], [(m_, e_.tiles.query_size)]
+            scores, mirrored = _pallas_partition_scores(t_stack)
             stage_totals["score"] += time.perf_counter() - t0
+            for bi_m, (mask, eng) in enumerate(prepared):
+                yield (scores[bi_m][None], mirrored[bi_m][None],
+                       [(mask, eng.tiles.query_size)])
         else:
             t0 = time.perf_counter()
             n_t_real = t_stack.shape[0]
@@ -412,17 +427,36 @@ def run(args: argparse.Namespace) -> int:
         return _load_target_images(part, cache,
                                    workers=args.cdsConcurrency or 8)
 
+    def record_pair_errors(failed):
+        """One error CDMatchEntity per (mask, failed target) pair so a
+        bad image is persisted as a known-failed pair, never silently
+        dropped (AbstractColorMIPSearchProcessor.java:80-83,
+        LocalColorMIPSearchProcessor.java:106)."""
+        for target, err in failed:
+            for mask, _ in prepared:
+                m = CDMatchEntity()
+                m.mask_image = mask
+                m.matched_image = target
+                m.session_ref_id = str(session_id)
+                m.match_found = False
+                m.errors = err
+                m.tags.add(run_tag)
+                all_matches.append(m)
+
     pending_decode = None
     for pi, part in enumerate(target_parts):
         t0 = time.perf_counter()
         if pending_decode is None:
-            t_imgs, t_entities = decode(part)
+            t_imgs, t_entities, t_failed = decode(part)
         else:
-            t_imgs, t_entities = pending_decode.result()
+            t_imgs, t_entities, t_failed = pending_decode.result()
         if pi + 1 < len(target_parts):
             pending_decode = prefetcher.submit(decode, target_parts[pi + 1])
         stage_totals["decode"] += time.perf_counter() - t0
+        if t_failed:
+            record_pair_errors(t_failed)
         if not t_imgs:
+            maybe_flush()
             continue
         for scores_blk, mirrored_blk, block in score_blocks(np.stack(t_imgs)):
             for bi, (mask, query_size) in enumerate(block):

@@ -111,3 +111,70 @@ def test_two_process_cli_sweep(tmp_path, fixtures_dir):
     pix = sorted((r["matchingPixels"], r.get("mirrored", False))
                  for r in d["results"])
     assert pix == [(426, True), (439, False)]
+
+
+def test_two_process_cli_sweep_pallas(tmp_path, fixtures_dir):
+    """colorDepthSearch CLI across 2 jax.distributed processes with the
+    PRODUCTION engine (pallas interpret + MXU prescreen): per-process
+    target blocks, per-device two-phase pipelines, allgathered rows,
+    rank-0 writes — golden scores exact (VERDICT r1 item 1)."""
+    import json
+    ws = tmp_path
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from colormipsearch_tpu.dataio import JSONCDMIPsWriter
+    from colormipsearch_tpu.model import (ComputeFileType, EMNeuronEntity,
+                                          FileData, LMNeuronEntity)
+    em = EMNeuronEntity(entity_id=1001, mip_id="em-12191",
+                        alignment_space="JRC2018_Unisex_20x_HR",
+                        library_name="flyem_test", published_name="12191")
+    em.compute_files[ComputeFileType.InputColorDepthImage] = \
+        FileData.from_string(str(fixtures_dir / "ems" / "12191_JRC2018U.tif"))
+    targets = []
+    for i, name in enumerate([
+            "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01",
+            "VT016795_115C08_AE_01-20200221_61_I2-m-CH1_01"]):
+        lm = LMNeuronEntity(entity_id=2001 + i, mip_id=f"lm-{i}",
+                            alignment_space="JRC2018_Unisex_20x_HR",
+                            library_name="flylight_test",
+                            published_name=name.split("_")[0])
+        lm.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(str(fixtures_dir / "lms" / f"{name}.tif"))
+        targets.append(lm)
+    for fname, ents in (("masks.json", [em]), ("targets.json", targets)):
+        w = JSONCDMIPsWriter(str(ws / fname))
+        w.open(); w.write(ents); w.close()
+
+    port = _free_port()
+    out = ws / "out"
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for r in range(2):
+        env = dict(env_base, CMS_COORDINATOR=f"127.0.0.1:{port}",
+                   CMS_NUM_PROCESSES="2", CMS_PROCESS_ID=str(r),
+                   CMS_PLATFORM="cpu", CMS_PALLAS_INTERPRET="1")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "colormipsearch_tpu", "colorDepthSearch",
+             "-m", str(ws / "masks.json"), "-i", str(ws / "targets.json"),
+             "--maskThreshold", "20", "--dataThreshold", "20",
+             "--pixColorFluctuation", "1", "--xyShift", "2", "--mirrorMask",
+             "--jax-distributed", "--engine", "pallas",
+             "--prescreen", "on", "-od", str(out)],
+            cwd=str(pathlib.Path(__file__).parent.parent),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env))
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            o, _ = p.communicate()
+        outs.append(o)
+    for r, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{o[-3000:]}"
+    d = json.load(open(out / "masks" / "em-12191.json"))
+    pix = sorted((r["matchingPixels"], r.get("mirrored", False))
+                 for r in d["results"])
+    assert pix == [(426, True), (439, False)]
