@@ -44,14 +44,24 @@ N_SECT = 6
 N_BINS = N_SECT * NB
 TILE_H = 8
 TILE_W = 128
-# spatial feature granularity: SUBTILE_W-pixel column slices of each
-# 8x128 tile. The exact kernel's shifts reach only +-xyShift (2) pixels,
-# so a 128-px-wide presence cell lets target signal ~130 px away
-# validate a query pixel; 16-px cells cut that slack 8x. Counts per cell
-# stay <= TILE_H*SUBTILE_W = 128, which bf16 represents exactly — the
-# bound matmul runs native-bf16 on the MXU with f32 accumulation
-# (exact: integer products, partial sums < 2^24).
+# spatial feature granularity: SUBTILE_H x SUBTILE_W cells of the frame
+# (SUBTILE_H divides TILE_H, SUBTILE_W divides TILE_W so cells tile the
+# 8x128 VPU tiles exactly). The exact kernel's shifts reach only
+# +-xyShift (2) pixels, so a coarse presence cell lets target signal far
+# from a query pixel validate it; finer cells cut that spatial slack at
+# linear feature-size cost. Counts per cell stay <= SUBTILE_H*SUBTILE_W
+# <= 128, which bf16 represents exactly — the bound matmul runs
+# native-bf16 on the MXU with f32 accumulation (exact: integer
+# products, partial sums < 2^24).
 SUBTILE_W = int(__import__("os").environ.get("CMS_PRESCREEN_SUBW", "16"))
+SUBTILE_H = int(__import__("os").environ.get("CMS_PRESCREEN_SUBH", "8"))
+assert TILE_H % SUBTILE_H == 0 and TILE_W % SUBTILE_W == 0
+
+
+def _cell_grid(grid_hw):
+    """(rows, cols) of the cell grid for a (gh, gw) 8x128-tile grid."""
+    gh, gw = grid_hw
+    return gh * (TILE_H // SUBTILE_H), gw * (TILE_W // SUBTILE_W)
 
 
 @functools.lru_cache(maxsize=8)
@@ -126,19 +136,19 @@ def bin_plane_from_words(words, xp=jnp):
 
 def query_features(words: np.ndarray) -> np.ndarray:
     """[npos * N_BINS] subtile-bin counts for a query (host);
-    npos = gh * gw * (TILE_W // SUBTILE_W) row-major positions.
+    npos = cell-grid rows x cols row-major positions (_cell_grid).
     uint8 when the cell size guarantees counts <= 255 (4x cheaper to
     upload/store than f32; the bound matmul upcasts on device)."""
     h, w = words.shape
     gh = -(-h // TILE_H)
     gw = -(-w // TILE_W)
-    gwn = gw * (TILE_W // SUBTILE_W)
+    ghn, gwn = _cell_grid((gh, gw))
     padded = np.full((gh * TILE_H, gw * TILE_W), -1, dtype=np.int64)
     padded[:h, :w] = bin_plane_from_words(words.astype(np.int64), xp=np)
-    tiles = padded.reshape(gh, TILE_H, gwn, SUBTILE_W).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(gh * gwn, TILE_H * SUBTILE_W)
-    dt = np.uint8 if TILE_H * SUBTILE_W <= 255 else np.float32
-    feats = np.zeros((gh * gwn, N_BINS), dtype=dt)
+    tiles = padded.reshape(ghn, SUBTILE_H, gwn, SUBTILE_W).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ghn * gwn, SUBTILE_H * SUBTILE_W)
+    dt = np.uint8 if SUBTILE_H * SUBTILE_W <= 255 else np.float32
+    feats = np.zeros((ghn * gwn, N_BINS), dtype=dt)
     for j in range(N_BINS):
         feats[:, j] = (tiles == j).sum(axis=1).astype(dt)
     return feats.reshape(-1)
@@ -171,18 +181,18 @@ def target_features(t_words, zt9: int, xy_shift: int, grid_hw,
         words2 = jax.lax.reduce_window(
             words2, 0, jax.lax.bitwise_or,
             (1, 1, 1, 2 * pad + 1), (1, 1, 1, 1), "same")
-    gwn = gw * (TILE_W // SUBTILE_W)
+    ghn, gwn = _cell_grid(grid_hw)
     padded = jnp.zeros((tsz, N_PLANES, gh * TILE_H, gw * TILE_W), jnp.int32)
     padded = padded.at[:, :, :h, :w].set(words2)
-    tiles = padded.reshape(tsz, N_PLANES, gh, TILE_H, gwn, SUBTILE_W)
+    tiles = padded.reshape(tsz, N_PLANES, ghn, SUBTILE_H, gwn, SUBTILE_W)
     tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or, (3, 5))
-    tile_or = tile_or.reshape(tsz, N_PLANES, gh * gwn)  # [T, P, npos]
+    tile_or = tile_or.reshape(tsz, N_PLANES, ghn * gwn)  # [T, P, npos]
     presence = _presence_from_bits(tile_or)
     compat = jnp.asarray(compat_matrix(zt9).astype(np.float32))   # [J, K]
     w01 = (presence @ compat.T) > 0                               # [T, npos, J]
     # bf16 halves feature HBM and doubles MXU rate; exact because the
     # stored values are 0/1 (and the matched query counts are <= 256)
-    dt = jnp.bfloat16 if TILE_H * SUBTILE_W <= 256 else jnp.float32
+    dt = jnp.bfloat16 if SUBTILE_H * SUBTILE_W <= 256 else jnp.float32
     return w01.astype(dt).reshape(tsz, -1)
 
 
@@ -213,10 +223,10 @@ def _presence_from_bits(tile_or):
 
 
 def _sliding_cell_stats(t_words, flip: bool, pad: int, grid_hw):
-    """Sliding-window (TILE_H x SUBTILE_W) statistics over the pad-ringed
-    tile-aligned frame, computed ONCE and sliced per shift offset:
-      or_full  [T, 2, Hc-TILE_H+1, Wc-SUBTILE_W+1]  bin-presence bitmasks
-      cnt_full [T,    Hc-TILE_H+1, Wc-SUBTILE_W+1]  bin-valid pixel counts
+    """Sliding-window (SUBTILE_H x SUBTILE_W) statistics over the
+    pad-ringed tile-aligned frame, computed ONCE, sliced per offset:
+      or_full  [T, P, Hc-SUBTILE_H+1, Wc-SUBTILE_W+1]  presence bitmasks
+      cnt_full [T,    Hc-SUBTILE_H+1, Wc-SUBTILE_W+1]  bin-valid counts
     (separable two-pass reductions; replaces one full reduce per offset).
     """
     gh, gw = grid_hw
@@ -230,12 +240,12 @@ def _sliding_cell_stats(t_words, flip: bool, pad: int, grid_hw):
            != 0).astype(jnp.int32)
     or_full = jax.lax.reduce_window(
         canvas, 0, jax.lax.bitwise_or,
-        (1, 1, TILE_H, 1), (1, 1, 1, 1), "valid")
+        (1, 1, SUBTILE_H, 1), (1, 1, 1, 1), "valid")
     or_full = jax.lax.reduce_window(
         or_full, 0, jax.lax.bitwise_or,
         (1, 1, 1, SUBTILE_W), (1, 1, 1, 1), "valid")
     cnt_full = jax.lax.reduce_window(
-        cnt, 0, jax.lax.add, (1, TILE_H, 1), (1, 1, 1), "valid")
+        cnt, 0, jax.lax.add, (1, SUBTILE_H, 1), (1, 1, 1), "valid")
     cnt_full = jax.lax.reduce_window(
         cnt_full, 0, jax.lax.add, (1, 1, SUBTILE_W), (1, 1, 1), "valid")
     return or_full, cnt_full
@@ -243,16 +253,15 @@ def _sliding_cell_stats(t_words, flip: bool, pad: int, grid_hw):
 
 def _cell_slice(full, pad: int, dx: int, dy: int, grid_hw):
     """Strided slice picking the cell grid shifted by (dx, dy)."""
-    gh, gw = grid_hw
-    gwn = gw * (TILE_W // SUBTILE_W)
+    ghn, gwn = _cell_grid(grid_hw)
     r0, c0 = pad + dy, pad + dx
     lead = full.ndim - 2
     start = (0,) * lead + (r0, c0)
-    stop = full.shape[:lead] + (r0 + (gh - 1) * TILE_H + 1,
+    stop = full.shape[:lead] + (r0 + (ghn - 1) * SUBTILE_H + 1,
                                 c0 + (gwn - 1) * SUBTILE_W + 1)
-    strides = (1,) * lead + (TILE_H, SUBTILE_W)
+    strides = (1,) * lead + (SUBTILE_H, SUBTILE_W)
     out = jax.lax.slice(full, start, stop, strides)
-    return out.reshape(full.shape[:lead - 1] + (-1, gh * gwn))
+    return out.reshape(full.shape[:lead - 1] + (-1, ghn * gwn))
 
 
 @functools.partial(jax.jit, static_argnames=("zt9", "offsets", "grid_hw",
@@ -269,10 +278,10 @@ def _variant_block_bounds_capped(u3, t_words, zt9: int, offsets, grid_hw,
       score_o <= sum_C min( sum_j u[C, j] * w01[C+o, j],  tcnt[C+o] )
 
     The presence bound alone lets ONE compatible target pixel validate
-    up to TILE_H*SUBTILE_W query pixels of its cell; the count cap
+    up to SUBTILE_H*SUBTILE_W query pixels of its cell; the count cap
     removes exactly that slack, which dominates for the sparse-overlap
     pairs that make up most of a diverse library. All arithmetic is
-    integer-exact (counts <= TILE_H*SUBTILE_W in bf16, f32 accumulation,
+    integer-exact (counts <= SUBTILE_H*SUBTILE_W in bf16, f32 accum,
     partial sums < 2^24), so the bound never rounds below the score.
     """
     tsz = t_words.shape[0]
@@ -320,7 +329,7 @@ def _variant_block_bounds(u, t_words, zt9: int, offsets, grid_hw,
     tsz, h, w = t_words.shape
     words2 = _bitmask_planes(t_words, flip)
     pad = max((max(abs(dx), abs(dy)) for dx, dy in offsets), default=0)
-    gwn = gw * (TILE_W // SUBTILE_W)
+    ghn, gwn = _cell_grid(grid_hw)
     # one padded canvas; each offset is a static slice of it
     canvas = jnp.zeros((tsz, N_PLANES, gh * TILE_H + 2 * pad,
                         gw * TILE_W + 2 * pad), jnp.int32)
@@ -331,9 +340,9 @@ def _variant_block_bounds(u, t_words, zt9: int, offsets, grid_hw,
     for dx, dy in offsets:
         sh = canvas[:, :, pad + dy:pad + dy + gh * TILE_H,
                     pad + dx:pad + dx + gw * TILE_W]
-        tiles = sh.reshape(tsz, N_PLANES, gh, TILE_H, gwn, SUBTILE_W)
+        tiles = sh.reshape(tsz, N_PLANES, ghn, SUBTILE_H, gwn, SUBTILE_W)
         tile_or = jax.lax.reduce(tiles, np.int32(0), jax.lax.bitwise_or,
-                                 (3, 5)).reshape(tsz, N_PLANES, gh * gwn)
+                                 (3, 5)).reshape(tsz, N_PLANES, ghn * gwn)
         pres = _presence_from_bits(tile_or)                       # [T,np,K]
         w01 = ((pres @ compat.T) > 0).astype(jnp.bfloat16)
         b = jnp.matmul(ub, w01.reshape(tsz, -1).T,

@@ -164,9 +164,12 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
                           planes_cache: dict):
     """Per-target shape planes are pure functions of the target's files;
     cache them across masks (the reference re-derives lazy images per
-    match; here the slice/grad planes are computed once per target)."""
+    match; here the slice/grad planes are computed once per target).
+    LRU eviction: a full-cache clear would trigger an O(everything)
+    recompute spike mid-run."""
     key = target.entity_id or target.mip_id
     if key in planes_cache:
+        planes_cache[key] = planes_cache.pop(key)  # refresh LRU order
         return planes_cache[key]
     cdm = cache.load_mip(target, ComputeFileType.InputColorDepthImage).image
     grad = cache.load_mip(target, ComputeFileType.GradientImage).image
@@ -185,8 +188,8 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
             grad=jnp.asarray(planes.grad),
             z_nonzero=jnp.asarray(planes.z_nonzero),
             z_slice=jnp.asarray(planes.z_slice))
-    if len(planes_cache) >= _PLANES_CACHE_MAX:
-        planes_cache.clear()
+    while len(planes_cache) >= _PLANES_CACHE_MAX:
+        planes_cache.pop(next(iter(planes_cache)))  # evict oldest (LRU)
     planes_cache[key] = planes
     return planes
 

@@ -100,24 +100,62 @@ def index_mip_stores(locations: List[str],
     return index
 
 
+# EM neuron-state component: "<bodyId>[_-]<STATE>_..." (the state may
+# carry a suffix, e.g. LV vs L — startswith matches them,
+# MIPsHandlingUtils.java:138-148)
+EM_STATE_RE = re.compile(r"[0-9]+[_-]([0-9A-Z]*)_.*", re.IGNORECASE)
+
+
+def extract_em_neuron_state(name: str) -> str:
+    m = EM_STATE_RE.match(name)
+    return m.group(1) if m else ""
+
+
+def match_objectives(source_objective: Optional[str],
+                     variant_objective: Optional[str]) -> bool:
+    """matchMIPObjectiveWithSegmentedImageObjective
+    (MIPsHandlingUtils.java:213-226): a variant WITH an objective never
+    matches a source without one; a variant without one matches any."""
+    if not source_objective and not variant_objective:
+        return True
+    if not source_objective:
+        return False
+    if not variant_objective:
+        return True
+    return source_objective.lower() == variant_objective.lower()
+
+
 def lookup_variant_images(neuron_id: str, index: Dict[str, List[MIPStoreEntry]],
                           em_library: bool,
                           source_channel: int = -1,
                           source_objective: Optional[str] = None,
-                          alignment_space: str = "") -> List[MIPStoreEntry]:
+                          alignment_space: str = "",
+                          match_neuron_state: bool = False,
+                          source_cdm_name: str = "") -> List[MIPStoreEntry]:
     """Find variant images for a neuron with channel/objective matching
-    (MIPsHandlingUtils.lookupSearchableNeuronImages, :128-187)."""
+    (MIPsHandlingUtils.lookupSearchableNeuronImages, :128-187). EM
+    libraries optionally match the neuron-STATE filename component
+    against the source CDM's (--match-neuron-state); LM libraries match
+    channel and objective."""
     candidates = index.get(neuron_id, [])
     if em_library:
-        return list(candidates)
+        if not match_neuron_state:
+            return list(candidates)
+        src_state = extract_em_neuron_state(
+            re.sub(r"\.\D*$", "", os.path.basename(source_cdm_name)))
+        out = []
+        for e in candidates:
+            st = extract_em_neuron_state(e.entry_name)
+            if (not st and not src_state) or \
+                    (src_state and st.startswith(src_state)):
+                out.append(e)
+        return out
     out = []
     for e in candidates:
         name = e.entry_name.replace(neuron_id, "")
         ch = extract_channel(name)
         obj = extract_objective(name, alignment_space)
         ch_ok = source_channel == -1 or ch == -1 or source_channel == ch
-        obj_ok = (not source_objective or not obj
-                  or source_objective.lower() == obj.lower())
-        if ch_ok and obj_ok:
+        if ch_ok and match_objectives(source_objective, obj):
             out.append(e)
     return out

@@ -19,20 +19,31 @@ from ..model.entities import CDMatchEntity, NeuronEntity
 
 @dataclass
 class DataSourceParam:
-    """Input selector (dataio/DataSourceParam.java): alignment space,
-    libraries, mip IDs, names, datasets, tags, offsets."""
+    """Input selector (dataio/DataSourceParam.java + dao/NeuronSelector
+    .java:15-31): alignment space, libraries, mip/entity/source-ref IDs,
+    names (with validity check), datasets, tags (incl. exclusions),
+    annotations = neuronTerms (incl. exclusions), processing tags,
+    neuron class, offsets."""
     alignment_space: Optional[str] = None
     libraries: List[str] = field(default_factory=list)
     mip_ids: List[str] = field(default_factory=list)
     names: List[str] = field(default_factory=list)
+    entity_ids: Set[int] = field(default_factory=set)
+    source_ref_ids: Set[str] = field(default_factory=set)
     datasets: Set[str] = field(default_factory=set)
     tags: Set[str] = field(default_factory=set)
     excluded_tags: Set[str] = field(default_factory=set)
     annotations: Set[str] = field(default_factory=set)
     excluded_annotations: Set[str] = field(default_factory=set)
     processing_tags: Dict[str, Set[str]] = field(default_factory=dict)
+    neuron_class: Optional[str] = None   # "EMNeuronEntity"/"LMNeuronEntity"
+    valid_name_only: bool = False        # publishedName set and not
+                                         # "No Consensus" (NeuronSelector
+                                         # .withValidPubishingName)
     offset: int = 0
     size: int = -1
+
+    NO_CONSENSUS = "No Consensus"
 
     def matches_entity(self, e: NeuronEntity) -> bool:
         if self.alignment_space and e.alignment_space != self.alignment_space:
@@ -43,6 +54,15 @@ class DataSourceParam:
             return False
         if self.names and e.published_name not in self.names:
             return False
+        if self.valid_name_only and (not e.published_name
+                                     or e.published_name == self.NO_CONSENSUS):
+            return False
+        if self.entity_ids and e.entity_id not in self.entity_ids:
+            return False
+        if self.source_ref_ids and e.source_ref_id not in self.source_ref_ids:
+            return False
+        if self.neuron_class and type(e).__name__ != self.neuron_class:
+            return False
         if self.datasets and not (self.datasets & e.dataset_labels):
             return False
         if self.tags or self.excluded_tags:
@@ -52,6 +72,13 @@ class DataSourceParam:
             if self.tags and not (self.tags & all_tags):
                 return False
             if self.excluded_tags and (self.excluded_tags & all_tags):
+                return False
+        if self.annotations or self.excluded_annotations:
+            terms = set(e.neuron_terms or ())
+            if self.annotations and not (self.annotations & terms):
+                return False
+            if self.excluded_annotations and (self.excluded_annotations
+                                              & terms):
                 return False
         if self.processing_tags:
             for ptype_name, wanted in self.processing_tags.items():

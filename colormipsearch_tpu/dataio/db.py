@@ -331,6 +331,20 @@ class SqliteStore:
                 "ORDER BY matching_pixels DESC", list(mask_refs)).fetchall()
         return [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
 
+    def find_dangling_match_refs(self) -> List[tuple]:
+        """(mask_ref, matched_ref) of matches whose mask or target no
+        longer resolves to a neuron row (validateDBData's dangling-
+        reference scan; an SQL anti-join, so 100k+-row stores never
+        load wholesale)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT m.mask_ref, m.matched_ref FROM cd_matches m "
+                "LEFT JOIN neuron_metadata a ON a.entity_id = m.mask_ref "
+                "LEFT JOIN neuron_metadata b ON b.entity_id = m.matched_ref "
+                "WHERE a.entity_id IS NULL OR b.entity_id IS NULL "
+                "ORDER BY m.mask_ref, m.matched_ref").fetchall()
+        return [(r[0], r[1]) for r in rows]
+
     def distinct_mask_mip_ids_with_matches(self) -> List[str]:
         with self._lock:
             rows = self._conn.execute(

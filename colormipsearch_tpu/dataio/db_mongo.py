@@ -264,6 +264,20 @@ class MongoStore:
             out.append(CDMatchEntity.from_dict(d))
         return out
 
+    def find_dangling_match_refs(self) -> List[tuple]:
+        """(mask_ref, matched_ref) pairs whose neuron rows are gone
+        (validateDBData dangling-reference scan)."""
+        mask_refs = set(self.matches.distinct("maskImageRefId"))
+        matched_refs = set(self.matches.distinct("matchedImageRefId"))
+        known = {d["_id"] for d in self.neurons.find(
+            {"_id": {"$in": sorted(mask_refs | matched_refs)}})}
+        out = []
+        for d in self.matches.find({}):
+            mr, tr = d.get("maskImageRefId"), d.get("matchedImageRefId")
+            if mr not in known or tr not in known:
+                out.append((mr, tr))
+        return sorted(out)
+
     def distinct_target_mip_ids_with_matches(self) -> List[str]:
         refs = set(self.matches.distinct("matchedImageRefId"))
         if not refs:

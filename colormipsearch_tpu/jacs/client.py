@@ -89,10 +89,13 @@ class ColorDepthMIP:
     public_thumbnail_url: Optional[str] = None
     sample: Optional[CDMIPSample] = None
     em_body: Optional[CDMIPBody] = None
+    libraries: List[str] = None  # ALL JACS libraries holding this MIP
+                                 # (ColorDepthMIP.java `libraries`)
 
     @classmethod
     def from_dict(cls, d: Dict) -> "ColorDepthMIP":
         return cls(id=d.get("id"), name=d.get("name"),
+                   libraries=list(d.get("libraries") or []),
                    filepath=d.get("filepath"),
                    alignment_space=d.get("alignmentSpace"),
                    library_name=d.get("libraryName"),

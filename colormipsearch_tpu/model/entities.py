@@ -37,6 +37,9 @@ class NeuronEntity:
     dataset_labels: Set[str] = field(default_factory=set)
     tags: Set[str] = field(default_factory=set)
     files: Dict[FileType, str] = field(default_factory=dict)
+    # persisted data-consistency findings (AbstractNeuronEntity.java:50,
+    # written by validateDBData and cleared when re-validation passes)
+    validation_errors: Set[str] = field(default_factory=set)
 
     JSON_CLASS = ""
 
@@ -84,6 +87,8 @@ class NeuronEntity:
             d["datasetLabels"] = sorted(self.dataset_labels)
         if self.tags:
             d["tags"] = sorted(self.tags)
+        if self.validation_errors:
+            d["validationErrors"] = sorted(self.validation_errors)
         return d
 
     def to_dict(self) -> Dict[str, Any]:
@@ -112,6 +117,7 @@ class NeuronEntity:
                 pass
         self.dataset_labels = set(d.get("datasetLabels") or [])
         self.tags = set(d.get("tags") or [])
+        self.validation_errors = set(d.get("validationErrors") or [])
 
 
 @dataclass

@@ -72,12 +72,50 @@ def main():
     u = np.stack([screen.query_features(qp.words) for qp in qplanes])
     thr = np.maximum(0.01 * np.array([qp.query_size for qp in qplanes]), 0.5)
 
+    # ground truth: exact best-variant scores via the dense kernel
+    # (cached across runs — the CPU sweep is the slow part)
+    import hashlib
+    key = hashlib.sha1(np.ascontiguousarray(targets).tobytes()
+                       + str(B).encode()).hexdigest()[:12]
+    cache_f = f"/tmp/bound_exp_exact_{key}.npy"
+    if os.path.exists(cache_f):
+        exact = np.load(cache_f)
+    else:
+        from colormipsearch_tpu.cds.pixel_kernel import (pixel_match_packed,
+                                                         pack_targets)
+        from colormipsearch_tpu.cds.oracle import shift_ring_offsets
+        shifts = jnp.asarray(np.asarray(shift_ring_offsets(2), np.int32))
+        tp, tf = pack_targets(jnp.asarray(targets), 20, 2)
+        q_words = jnp.asarray(np.stack([qp.words for qp in qplanes]))
+        t0 = time.time()
+        exact_rows = []
+        for i in range(0, T, 8):
+            s, _ = pixel_match_packed(q_words, tp[i:i + 8], tf[i:i + 8],
+                                      shifts, zt9=zt9, mirror=True)
+            exact_rows.append(np.asarray(s))
+        exact = np.concatenate(exact_rows, axis=1)
+        np.save(cache_f, exact)
+        print(f"exact sweep: {time.time()-t0:.0f}s")
+    true_rate = (exact > thr[:, None]).mean()
+    print(f"true match rate {true_rate:.3%}")
+
     for name, flag in (("presence", False), ("count-capped", True)):
         screen.USE_COUNT_CAP = flag
         t0 = time.time()
         bounds = screen.bounds_from_words(jnp.asarray(u), t_words)
+        assert (bounds >= exact - 1e-3).all(), "bound violated!"
         surv = (bounds > thr[:, None]).mean()
-        print(f"{name:14s} survivors {surv:.3%}  ({time.time()-t0:.1f}s)")
+        print(f"{name:14s} survivors {surv:.3%}  slack x"
+              f"{surv / max(true_rate, 1e-9):.1f}  ({time.time()-t0:.1f}s)")
+        # where is the remaining slack? false survivors' bound/thr and
+        # exact/thr distributions tell whether tightening can still win
+        fs = (bounds > thr[:, None]) & (exact <= thr[:, None])
+        if fs.any():
+            rb = (bounds / thr[:, None])[fs]
+            re = (exact / thr[:, None])[fs]
+            q = lambda a: np.percentile(a, [10, 50, 90]).round(2)
+            print(f"  false survivors: bound/thr p10/50/90 {q(rb)}, "
+                  f"exact/thr {q(re)}")
 
 
 if __name__ == "__main__":

@@ -71,8 +71,19 @@ def test_tag_and_validate_cmds(tmp_path, fixtures_dir):
 
     report = tmp_path / "errors.json"
     rc = main(["validateDBData", "--mips-file", mips_file,
+               "--no-grad-files-check",
                "--check-file-existence", "--error-report", str(report)])
     assert rc == 0  # all fixture files exist
+
+    # default mode checks the FULL compute-file matrix incl. gradient
+    # inputs (ValidateNBDBDataCmd.java:310-315) — these MIPs have none
+    rc = main(["validateDBData", "--mips-file", mips_file,
+               "--error-report", str(report)])
+    assert rc == 1
+    import json as _json
+    errs = {e["error"] for e in _json.load(open(report))}
+    assert any("GradientImage" in e for e in errs)
+    assert any("ZGapImage" in e for e in errs)
 
 
 def test_copy_to_mips_store_cmd(tmp_path, fixtures_dir):

@@ -54,10 +54,13 @@ def test_corrupt_and_missing_images_are_skipped(tmp_path, fixtures_dir):
     assert rc == 0
     with open(os.path.join(ws, "out", "masks", "em-ok.json")) as f:
         doc = json.load(f)
-    mips = {r["image"]["mipId"] for r in doc["results"]}
-    assert "lm-ok" in mips
-    assert "lm-missing" not in mips
-    assert "lm-corrupt" not in mips
+    rows = {r["image"]["mipId"]: r for r in doc["results"]}
+    assert "matchingPixels" in rows["lm-ok"]
+    # failed targets are PERSISTED as known-failed pairs with errors set
+    # (AbstractColorMIPSearchProcessor.java:80-83), never silently lost
+    assert rows["lm-missing"]["errors"]
+    assert rows["lm-corrupt"]["errors"]
+    assert not rows["lm-corrupt"].get("matchingPixels")
 
 
 def test_mismatched_target_size_is_skipped(tmp_path, fixtures_dir):
@@ -103,5 +106,7 @@ def test_mismatched_target_size_is_skipped(tmp_path, fixtures_dir):
     assert rc == 0
     with open(os.path.join(ws, "out", "masks", "em-ok.json")) as f:
         doc = json.load(f)
-    mips = {r["image"]["mipId"] for r in doc["results"]}
-    assert mips == {"lm-ok"}
+    rows = {r["image"]["mipId"]: r for r in doc["results"]}
+    assert set(rows) == {"lm-ok", "lm-small"}
+    assert "matchingPixels" in rows["lm-ok"]
+    assert "size" in rows["lm-small"]["errors"]
