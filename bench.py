@@ -210,6 +210,8 @@ def _bench_twophase():
 
     from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
 
+    detail = os.environ.get("CMS_BENCH_STAGES") == "1"
+
     def launch_part(tgt_np, stage):
         """Enqueue pack + screen + every mask's exact scoring for one
         target partition; returns (deferred handles, survivor rate).
@@ -218,15 +220,28 @@ def _bench_twophase():
         transfers) of THIS partition overlaps the device's exact-phase
         compute of the PREVIOUS one — the production sweep pipelines
         target partitions exactly this way."""
-        t0 = time.perf_counter()
+        tstart = time.perf_counter()
+        t0 = tstart
+
+        def sub(key, val):
+            nonlocal t0
+            if detail:  # sub-stage split (adds device syncs — profiling only)
+                import jax as _j
+                _j.block_until_ready(val)
+                stage[key] = stage.get(key, 0.0) + time.perf_counter() - t0
+                t0 = time.perf_counter()
+
         words = engines[0].pack_raw_words(tgt_np)
+        sub("pack_words", words)
         packed = engines[0].pad_from_words(words)
+        sub("pad", packed)
         # variant-consistent MXU bound (per-shift max): tighter than the
         # dilated single bound, features never materialized in HBM
         bounds = screen.bounds_from_words(u_matrix, words)  # [B, Tp]
+        sub("screen", bounds)
         del words
         stage["pack+screen"] = stage.get("pack+screen", 0.0) \
-            + time.perf_counter() - t0
+            + time.perf_counter() - tstart
         t0 = time.perf_counter()
         survivors = (bounds > thr[:, None]).astype(np.int32)
         # launch every mask up front: compaction gathers live INSIDE
@@ -275,8 +290,11 @@ def _bench_twophase():
         _, stage = run_round()
         dt = time.perf_counter() - t0
         best = max(best, B * T / dt)
+        extra = "".join(f" {k}={stage[k]:.2f}"
+                        for k in ("pack_words", "pad", "screen")
+                        if k in stage)
         _log(f"[twophase] round {dt:.2f}s  "
-             f"pack+screen={stage['pack+screen']:.2f} "
+             f"pack+screen={stage['pack+screen']:.2f}{extra} "
              f"launch={stage['launch']:.2f} drain={stage['drain']:.2f} "
              f"survivors={stage['survivor_rate']:.3%} "
              f"rate={B * T / dt:,.0f} pairs/s")

@@ -63,22 +63,96 @@ def add_parser(subparsers) -> None:
                         "VisuallyLosslessStack / Gal4Expression)")
     p.add_argument("--size", type=int, default=-1,
                    help="cap matches per mask")
+    p.add_argument("--max-matched-targets", type=int, default=-1,
+                   help="cap exported matches per input MIP after "
+                        "ordering by normalizedScore "
+                        "(AbstractCDMatchesExporter.limitMatches)")
+    p.add_argument("--max-matches-with-same-name-per-mip", type=int,
+                   default=-1,
+                   help="cap matches sharing one target publishedName "
+                        "per input MIP (limitMatches grouping)")
+    p.add_argument("--jacs-mips-file", default=None,
+                   help="offline ColorDepthMIP docs JSON (the "
+                        "CachedDataHelper fixture): enriches exported "
+                        "neurons with sample/body publishing metadata "
+                        "(ColorDepthMIP.updateEMNeuron/updateLMNeuron)")
+    p.add_argument("--target-libraries", nargs="*", default=[])
+    p.add_argument("--target-tags", nargs="*", default=[])
+    p.add_argument("--target-excluded-tags", nargs="*", default=[])
+    p.add_argument("--target-annotations", nargs="*", default=[])
+    p.add_argument("--target-excluded-annotations", nargs="*", default=[])
+    p.add_argument("--matches-excluded-tags", nargs="*", default=[],
+                   help="drop matches carrying any of these tags")
+    p.add_argument("--validation", choices=("required", "off"),
+                   default="required",
+                   help="required-attribute validation of exported "
+                        "metadata; failing ITEMS are dropped with an "
+                        "error log, the run continues (the reference's "
+                        "Jackson ValidatingSerializer over "
+                        "dto/AbstractNeuronMetadata @NotBlank fields)")
     p.set_defaults(func=run)
 
 
+# the reference's always-on @NotBlank/@NotNull DTO constraints
+# (dto/AbstractNeuronMetadata.java:98-157, LMNeuronMetadata.java:18,27);
+# mipId is the WithAllRequiredAttrs group's extra field, checked too
+# because every CD export carries MIPs
 REQUIRED_EXPORT_ATTRS = ("mipId", "libraryName", "publishedName",
-                         "alignmentSpace")
+                         "alignmentSpace", "anatomicalArea")
+REQUIRED_LM_ATTRS = ("slideCode", "objective", "gender")
+
+# EM anatomical areas are derived from the alignment space when the
+# body record carries none (ColorDepthMIP.getAnatomicalAreaFromAlignmentSpace)
+_AREA_BY_ALIGNMENT_SPACE = {"JRC2018_Unisex_20x_HR": "Brain",
+                            "JRC2018_VNC_Unisex_40x_DS": "VNC"}
+
+
+def anatomical_area_from_alignment_space(space) -> str:
+    return _AREA_BY_ALIGNMENT_SPACE.get(space or "", "Brain")
+
+
+def _enrich_from_jacs_mip(e: NeuronEntity, d: Dict, files: Dict,
+                          jacs_mips) -> None:
+    """Offline CachedDataHelper enrichment: overlay publishing metadata
+    from the neuron's JACS ColorDepthMIP doc
+    (ColorDepthMIP.updateEMNeuron:249-272 / updateLMNeuron:209-221)."""
+    mip = jacs_mips.get(e.mip_id or "")
+    if mip is None:
+        return
+    if type(e).__name__.startswith("EM"):
+        if mip.body_id is not None:
+            d["publishedName"] = mip.em_body_id()
+        if mip.neuron_instance:
+            d["neuronInstance"] = mip.neuron_instance
+        if mip.neuron_type:
+            d["neuronType"] = mip.neuron_type
+        return
+    if mip.lm_line_name():
+        d["publishedName"] = mip.lm_line_name()
+    if mip.lm_gender():
+        d["gender"] = mip.lm_gender()
+    if mip.lm_slide_code():
+        d["slideCode"] = mip.lm_slide_code()
+    if mip.anatomical_area:
+        d["anatomicalArea"] = mip.anatomical_area
+    if mip.objective:
+        d["objective"] = mip.objective
+    if mip.sample_3d_stack:
+        files["VisuallyLosslessStack"] = mip.sample_3d_stack
+    if mip.sample_gal4_expression:
+        files["Gal4Expression"] = mip.sample_gal4_expression
 
 
 def neuron_metadata(e: NeuronEntity, url_transformer=None,
                     image_store_mapping=None, published_urls=None,
-                    published_lm_stacks=None) -> Dict:
+                    published_lm_stacks=None, jacs_mips=None) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
     dto/AbstractNeuronMetadata.java:43-61). When transformers are given,
     file URLs are relativized per FileType and the FileType.store entry
     is set from the image-store mapping (AbstractDataExporter.java:76-84,
     applied BEFORE any library-name remap so the mapping keys on the
     internal library name)."""
+    is_em = type(e).__name__.startswith("EM")
     d: Dict = {"mipId": e.mip_id,
                "libraryName": e.library_name,
                "publishedName": e.published_name,
@@ -92,11 +166,18 @@ def neuron_metadata(e: NeuronEntity, url_transformer=None,
         v = getattr(e, attr, None)
         if v is not None:
             d[key] = v.name if hasattr(v, "name") and attr == "gender" else v
+    if is_em and not d.get("anatomicalArea"):
+        # EM bodies derive the area from the alignment space
+        # (ColorDepthMIP.updateEMNeuron:257-263)
+        d["anatomicalArea"] = anatomical_area_from_alignment_space(
+            e.alignment_space)
     if e.neuron_terms:
         d["neuronTerms"] = list(e.neuron_terms)
     files = {t.name: v for t, v in sorted(e.files.items(),
                                           key=lambda kv: kv[0].name)} \
         if e.files else {}
+    if jacs_mips is not None:
+        _enrich_from_jacs_mip(e, d, files, jacs_mips)
     if published_urls:
         from .dataexport import apply_published_urls
         uploaded = published_urls.get(str(e.entity_id)) \
@@ -148,20 +229,41 @@ def build_transformers(args):
 
 
 def validate_export_metadata(d: Dict) -> List[str]:
-    """Required-attribute validation (the reference rejects exports with
-    missing attrs via Jackson ValidatingSerializer,
-    dto/WithAllRequiredAttrs / cmd/dataexport; here invalid records are
-    skipped with an error report)."""
-    return [k for k in REQUIRED_EXPORT_ATTRS if not d.get(k)]
+    """Required-attribute validation per exported type: the reference
+    rejects items with blank @NotBlank DTO fields via a Jackson
+    ValidatingSerializer (cmd/dataexport/ValidatingSerializer.java:22-29
+    over dto/AbstractNeuronMetadata + LMNeuronMetadata); here invalid
+    ITEMS are dropped with an error log and the run continues."""
+    missing = [k for k in REQUIRED_EXPORT_ATTRS if not d.get(k)]
+    if d.get("type") == "LMImage":
+        missing += [k for k in REQUIRED_LM_ATTRS if not d.get(k)]
+    return missing
 
 
-def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
-                                   ) -> List[CDMatchEntity]:
+_SUSPICIOUS_RE = __import__("re").compile(r"Suspicious match from .+ import")
+
+
+def _not_suspicious(m: CDMatchEntity) -> bool:
+    """Matches tagged suspicious at import time (a missing neuron was
+    artificially created) never export
+    (AbstractCDMatchesExporter.doesNotLookSuspicious)."""
+    return not any(_SUSPICIOUS_RE.search(t) for t in (m.tags or ()))
+
+
+def select_best_match_per_mip_pair(matches: List[CDMatchEntity],
+                                   excluded_tags=()) -> List[CDMatchEntity]:
     """Dedupe (maskMIP, targetMIP) pairs keeping max normalizedScore
-    (AbstractCDMatchesExporter.java:108-125; first wins on ties)."""
+    (AbstractCDMatchesExporter.java:108-125; first wins on ties).
+    Matches without a normalized score, suspicious-import matches and
+    matches carrying excluded tags are dropped first."""
+    excluded = set(excluded_tags or ())
     best: Dict = {}
     for m in matches:
         if m.normalized_score is None:
+            continue
+        if not _not_suspicious(m):
+            continue
+        if excluded and (set(m.tags or ()) & excluded):
             continue
         key = (m.mask_image.mip_id if m.mask_image else None,
                m.matched_image.mip_id if m.matched_image else None)
@@ -173,6 +275,29 @@ def select_best_match_per_mip_pair(matches: List[CDMatchEntity]
     return out
 
 
+def limit_matches(matches: List[CDMatchEntity], matched_of,
+                  max_same_name: int, max_targets: int
+                  ) -> List[CDMatchEntity]:
+    """limitMatches (AbstractCDMatchesExporter.java:126-151): cap the
+    matches sharing one target publishedName per input MIP, then cap
+    the total, both ordered by normalizedScore descending."""
+    if max_same_name > 0:
+        by_name: Dict = {}
+        for m in matches:
+            t = matched_of(m)
+            by_name.setdefault(t.published_name if t else None,
+                               []).append(m)
+        kept = []
+        for group in by_name.values():
+            group.sort(key=lambda m: -(m.normalized_score or 0))
+            kept.extend(group[:max_same_name])
+        matches = kept
+    matches = sorted(matches, key=lambda m: -(m.normalized_score or 0))
+    if max_targets > 0:
+        matches = matches[:max_targets]
+    return matches
+
+
 def _export_cd_matches(args, by_target: bool) -> int:
     """CD matches export. EM side groups per mask mip
     (EMCDMatchesExporter); LM side groups per TARGET mip with the
@@ -181,9 +306,19 @@ def _export_cd_matches(args, by_target: bool) -> int:
     from .backends import matches_reader
     reader = matches_reader(args.db, args.matchesDir)
     url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
+    jacs_mips = _load_jacs_mips_fixture(args)
+    target_sel = DataSourceParam(
+        libraries=list(args.target_libraries or []),
+        tags=set(args.target_tags or []),
+        excluded_tags=set(args.target_excluded_tags or []),
+        annotations=set(args.target_annotations or []),
+        excluded_annotations=set(args.target_excluded_annotations or []))
+    has_target_sel = any((target_sel.libraries, target_sel.tags,
+                          target_sel.excluded_tags, target_sel.annotations,
+                          target_sel.excluded_annotations))
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
+    n = n_dropped = 0
     if by_target:
         locations = reader.list_target_locations([DataSourceParam()])
     else:
@@ -195,11 +330,6 @@ def _export_cd_matches(args, by_target: bool) -> int:
         else:
             matches = reader.read_matches_by_mask(
                 DataSourceParam(mip_ids=[mip_id]))
-        selected = select_best_match_per_mip_pair(matches)
-        if args.size > 0:
-            selected = selected[:args.size]
-        if not selected:
-            continue
 
         def input_of(m):
             return m.matched_image if by_target else m.mask_image
@@ -207,40 +337,103 @@ def _export_cd_matches(args, by_target: bool) -> int:
         def matched_of(m):
             return m.mask_image if by_target else m.matched_image
 
-        input_meta = neuron_metadata(input_of(selected[0]), url_t, store_m,
-                                     pub_urls, lm_stacks)
-        missing = validate_export_metadata(input_meta)
+        if has_target_sel:
+            matches = [m for m in matches
+                       if matched_of(m) is not None
+                       and target_sel.matches_entity(matched_of(m))]
+        selected = select_best_match_per_mip_pair(
+            matches, excluded_tags=args.matches_excluded_tags)
+        selected = limit_matches(selected, matched_of,
+                                 args.max_matches_with_same_name_per_mip,
+                                 args.max_matched_targets)
+        if args.size > 0:
+            selected = selected[:args.size]
+        if not selected:
+            continue
+
+        def meta(e):
+            return neuron_metadata(e, url_t, store_m, pub_urls, lm_stacks,
+                                   jacs_mips=jacs_mips)
+
+        input_meta = meta(input_of(selected[0]))
+        missing = validate_export_metadata(input_meta) \
+            if args.validation != "off" else []
         if missing:
             LOG.warning("skipping export for %s: missing attrs %s",
                         mip_id, missing)
+            n_dropped += len(selected)
             continue
         results = []
         for m in selected:
-            image_meta = neuron_metadata(matched_of(m), url_t, store_m,
-                                         pub_urls, lm_stacks)
-            if validate_export_metadata(image_meta):
+            image_meta = meta(matched_of(m))
+            missing = validate_export_metadata(image_meta) \
+                if args.validation != "off" else []
+            if missing:
                 LOG.warning("skipping match in %s: missing attrs %s",
-                            mip_id, validate_export_metadata(image_meta))
+                            mip_id, missing)
+                n_dropped += 1
                 continue
             r = {"image": image_meta,
                  "mirrored": m.mirrored,
                  "normalizedScore": m.normalized_score,
                  "matchingPixels": m.matching_pixels}
-            if m.match_files:
-                r["files"] = {t.name: v for t, v in m.match_files.items()}
+            files = ({t.name: v for t, v in m.match_files.items()}
+                     if m.match_files else {})
+            # per-match searchable-neuron URLs + store
+            # (updateMatchedResultsMetadata,
+            # AbstractCDMatchesExporter.java:164-210): CDMInput = the
+            # INPUT side's published searchable URL, CDMMatch = the
+            # matched side's; store follows the matched image
+            if pub_urls:
+                files.update(_match_files_from_published(
+                    input_of(m), matched_of(m), pub_urls, url_t))
+            if store_m is not None and image_meta.get("files", {}).get("store"):
+                files["store"] = image_meta["files"]["store"]
+            if files:
+                r["files"] = files
             results.append(r)
         doc = {"inputImage": input_meta, "results": results}
         with open(os.path.join(out_dir, f"{mip_id}.json"), "w") as f:
             json.dump(doc, f, indent=2)
         n += len(results)
-    LOG.info("exported %d matches", n)
+    LOG.info("exported %d matches (%d dropped by validation)", n, n_dropped)
     return 0
+
+
+def _match_files_from_published(input_e, matched_e, pub_urls, url_t):
+    """CDMInput/CDMMatch from the published searchable_neurons URLs
+    (AbstractCDMatchesExporter.updateMatchedResultsMetadata:176-205);
+    absent URLs leave the file unset, exactly as the reference nulls
+    the entry."""
+    out = {}
+    for e, key in ((input_e, "CDMInput"), (matched_e, "CDMMatch")):
+        if e is None:
+            continue
+        uploaded = pub_urls.get(str(e.entity_id)) \
+            or pub_urls.get(e.mip_id or "")
+        url = (uploaded or {}).get("searchable_neurons")
+        if url:
+            out[key] = url_t.relativize_url(key, url) if url_t else url
+    return out
+
+
+def _load_jacs_mips_fixture(args):
+    """Offline CachedDataHelper: mipId -> ColorDepthMIP doc from a
+    fixture JSON (list of /data/colorDepthMIPsWithSamples docs)."""
+    path = getattr(args, "jacs_mips_file", None)
+    if not path:
+        return None
+    from ..jacs.client import ColorDepthMIP
+    with open(path) as f:
+        docs = json.load(f)
+    return {d["id"]: ColorDepthMIP.from_dict(d) for d in docs if d.get("id")}
 
 
 def _export_mips(args) -> int:
     from ..dataio import JSONCDMIPsReader
     reader = JSONCDMIPsReader(args.mips_file)
     url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
+    jacs_mips = _load_jacs_mips_fixture(args)
     entities = reader.read_mips(DataSourceParam())
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
@@ -248,7 +441,8 @@ def _export_mips(args) -> int:
     for e in entities:
         by_name.setdefault(e.published_name or "unknown", []).append(e)
     for name, group in by_name.items():
-        doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls, lm_stacks)
+        doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls,
+                                           lm_stacks, jacs_mips=jacs_mips)
                            for e in group]}
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(doc, f, indent=2)

@@ -91,11 +91,15 @@ class ColorDepthMIP:
     em_body: Optional[CDMIPBody] = None
     libraries: List[str] = None  # ALL JACS libraries holding this MIP
                                  # (ColorDepthMIP.java `libraries`)
+    sample_3d_stack: Optional[str] = None       # sample3DImageStack
+    sample_gal4_expression: Optional[str] = None  # sampleGen1Gal4ExpressionImage
 
     @classmethod
     def from_dict(cls, d: Dict) -> "ColorDepthMIP":
         return cls(id=d.get("id"), name=d.get("name"),
                    libraries=list(d.get("libraries") or []),
+                   sample_3d_stack=d.get("sample3DImageStack"),
+                   sample_gal4_expression=d.get("sampleGen1Gal4ExpressionImage"),
                    filepath=d.get("filepath"),
                    alignment_space=d.get("alignmentSpace"),
                    library_name=d.get("libraryName"),

@@ -33,11 +33,14 @@ def workspace(tmp_path_factory, fixtures_dir):
 
     targets = []
     for i, name in enumerate(LM_NAMES):
+        from colormipsearch_tpu.model import Gender
         lm = LMNeuronEntity(entity_id=2001 + i, mip_id=f"lm-{i}",
                             alignment_space="JRC2018_Unisex_20x_HR",
                             library_name="flylight_test",
                             published_name=name.split("_")[0],
-                            slide_code=f"sc-{i}")
+                            slide_code=f"sc-{i}",
+                            anatomical_area="Brain",
+                            gender=Gender.f, objective="40x")
         lm.compute_files[ComputeFileType.InputColorDepthImage] = \
             FileData.from_string(str(fixtures_dir / "lms" / f"{name}.tif"))
         grad = fixtures_dir / "grad" / f"{name}.png"
