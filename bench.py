@@ -89,6 +89,89 @@ def _bench_shape():
     }
 
 
+def _bench_gradients():
+    """Config "gradients": END-TO-END shape/gradient re-ranking rate —
+    matches/s/chip through the production gradientScores path: target
+    CDM+grad decode (distinct files, thread-pool), shape-plane build,
+    device upload, row-band-cropped kernel, score finish. This is the
+    number the <1h full-precompute budget needs (the bare kernel rate in
+    _bench_shape excludes decode/planes/upload)."""
+    import argparse
+    import shutil
+    import tempfile
+    import jax
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    from colormipsearch_tpu.cmd.gradientscores_cmd import _score_batch
+    from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
+                                          EMNeuronEntity, FileData,
+                                          LMNeuronEntity)
+    from colormipsearch_tpu.mips import MIPsCache
+
+    T = int(os.environ.get("CMS_BENCH_GRAD_T", "128"))
+    lm_names = [n for n in sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
+                if os.path.exists(os.path.join(
+                    _FIXTURES, "grad", n.rsplit(".", 1)[0] + ".png"))]
+    tmp = tempfile.mkdtemp(prefix="cms_grad_bench_")
+    try:
+        matches = []
+        em = EMNeuronEntity(entity_id=1, mip_id="em-1")
+        em.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(os.path.join(_FIXTURES, "ems",
+                                              "12191_JRC2018U.tif"))
+        for i in range(T):
+            src = lm_names[i % len(lm_names)]
+            stem = src.rsplit(".", 1)[0]
+            cdm = os.path.join(tmp, f"t{i}.tif")
+            grad = os.path.join(tmp, f"t{i}_grad.png")
+            shutil.copy(os.path.join(_FIXTURES, "lms", src), cdm)
+            shutil.copy(os.path.join(_FIXTURES, "grad", stem + ".png"),
+                        grad)
+            lm = LMNeuronEntity(entity_id=100 + i, mip_id=f"lm-{i}")
+            lm.compute_files[ComputeFileType.InputColorDepthImage] = \
+                FileData.from_string(cdm)
+            lm.compute_files[ComputeFileType.GradientImage] = \
+                FileData.from_string(grad)
+            m = CDMatchEntity()
+            m.mask_image, m.matched_image = em, lm
+            matches.append(m)
+
+        query = load_image(os.path.join(_FIXTURES, "ems",
+                                        "12191_JRC2018U.tif"))
+        excluded = label_regions_mask(query.height, query.width)
+        qplanes = build_query_shape_planes(query, excluded)
+        args = argparse.Namespace(
+            maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=True,
+            targetsPerBatch=16, queryROIMaskName=None)
+        best = 0.0
+        for rep in range(3):
+            cache = MIPsCache(64)   # cold decode every rep (end-to-end)
+            planes_cache = {}
+            t0 = time.perf_counter()
+            scored = []
+            for p0 in range(0, T, args.targetsPerBatch):
+                scored.extend(_score_batch(
+                    matches[p0:p0 + args.targetsPerBatch], qplanes, cache,
+                    args, excluded, planes_cache))
+            dt = time.perf_counter() - t0
+            assert len(scored) == T
+            best = max(best, T / dt)
+            _log(f"[gradients] rep{rep}: {dt:.2f}s "
+                 f"rate={T / dt:,.0f} matches/s")
+        golden = [m.gradient_area_gap for m in scored[:len(lm_names)]]
+        _log(f"[gradients] gaps head: {golden}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": (f"end-to-end gradientScores matches/s/chip ({T} "
+                   "targets, decode+planes+upload+kernel, "
+                   "negativeRadius20+mirror, zgap-on-the-fly)"),
+        "value": round(best, 1),
+        "unit": "matches/s",
+        "vs_baseline": round(best / REFERENCE_NODE_SHAPE_PER_S, 3),
+    }
+
+
 def _bench_prescreen():
     """Config 3: MXU prescreen bound-pass rate — (mask, target) pairs
     bounded per second (target features on device + host bound matmul),
@@ -319,6 +402,9 @@ def main():
         return
     if config == "shape":
         print(json.dumps(_bench_shape()))
+        return
+    if config == "gradients":
+        print(json.dumps(_bench_gradients()))
         return
     if config == "prescreen":
         print(json.dumps(_bench_prescreen()))
