@@ -293,6 +293,13 @@ def _bench_twophase():
 
     from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
 
+    mm = None
+    if os.environ.get("CMS_MULTIMASK", "1") == "1":
+        # multi-mask single-launch exact phase (ROADMAP lever 2): one
+        # pallas dispatch scores ~64 survivor chunks across masks
+        from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+        mm = MultiMaskScorer(engines, interpret=interpret)
+
     detail = os.environ.get("CMS_BENCH_STAGES") == "1"
 
     def launch_part(tgt_np, stage):
@@ -331,8 +338,12 @@ def _bench_twophase():
         # each dispatch (freed when its program completes) and queued
         # outputs are tiny [ck, 2S] sums, so no launch-ahead bound is
         # needed; results drain later in one batched device_get
-        deferred = [e.score_packed_deferred(packed, survivors=survivors[i])
-                    for i, e in enumerate(engines)]
+        if mm is not None:
+            deferred = mm.launch_deferred(packed, survivors)
+        else:
+            deferred = [e.score_packed_deferred(packed,
+                                                survivors=survivors[i])
+                        for i, e in enumerate(engines)]
         stage["launch"] = stage.get("launch", 0.0) + time.perf_counter() - t0
         return deferred, float(survivors.mean())
 

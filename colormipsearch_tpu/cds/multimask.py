@@ -1,0 +1,339 @@
+"""Multi-mask single-launch exact sweep (ROADMAP lever 2).
+
+The two-phase production path scores each mask's prescreen survivors
+with the active-tile pallas kernel. Launching that kernel once per mask
+(pixel_pallas.score_packed_deferred) pays a device dispatch plus a
+survivor gather per mask — measured at ~40% of the exact phase (the
+kernel itself runs 4.4K pairs/s; the per-mask path nets 2.7K).
+
+This module removes both costs: ONE pallas dispatch scores the survivor
+chunks of MANY masks.
+
+- Host-side, every mask's survivor list is cut into fixed tb-row chunks
+  and the chunks of up to G_BUCKET distinct masks are packed into one
+  launch of ROWS rows (dead chunks pad the fixed shape and are skipped
+  in-kernel like the compacted path's padding blocks).
+- Scalar prefetch carries, per chunk, the mask identity twice: a GLOBAL
+  id that drives the query-tile BlockSpec index map into one stacked
+  [B*K, 8, 128] tile array (uploaded once per device per run), and a
+  LOCAL slot selecting the launch's [G*K, 3] coords window (SMEM-sized;
+  the full [B*K, 3] would not fit scalar memory).
+- Each chunk's target windows are DMA'd PER ROW straight from the full
+  resident padded frames at scalar-prefetched target indices — the
+  per-mask path's device gather of survivor frames (0.5 GB HBM traffic
+  per 64-survivor chunk) disappears entirely.
+
+Scores are bit-identical to the per-mask path (pinned by
+tests/test_multimask.py); the kernel body is pixel_pallas's predicate
+and accumulator verbatim — only the work layout changes.
+
+Reference counterpart: the per-mask submission loop this replaces,
+cmd/cdsprocess/LocalColorMIPSearchProcessor.java:82-112 (one task per
+(mask, target-partition) pair).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pixel_pallas import (NV_PAD, TILE_H, TILE_W, DeferredScore,
+                           _dev_ctx, _match_predicate, _unpack)
+
+# rows per launch (fixed compile shape; tails round up to a pow2 bucket)
+ROWS = int(os.environ.get("CMS_MM_ROWS", "1024"))
+# rows per chunk (one mask per chunk; per-mask survivor padding is <= tb-1)
+TB = int(os.environ.get("CMS_MM_TB", "16"))
+
+
+def _g_bucket(n_k: int) -> int:
+    # distinct masks per launch: bounded by SMEM ([G*K, 3] coords)
+    return 16 if n_k <= 128 else 4
+
+
+def _pow2_at_least(n: int, lo: int) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
+    win_h = 3 * TILE_H
+    win_w = 3 * TILE_W
+    n_shifts = len(shifts)
+    nv = 2 * n_shifts
+    assert nv <= NV_PAD
+
+    def kernel(gmids, lmids, blk, tgt, surv, coords, q_ref, t_hbm, tf_hbm,
+               out_ref, acc, win_d, win_m, sems):
+        t = pl.program_id(0)
+        k = pl.program_id(1)
+        alive = blk[t] > 0
+        # coords is FLAT [g_bucket * n_k * 3]: 2-D scalar-prefetch arrays
+        # are padded to 512 B per row in SMEM (measured: [2048, 3] int32
+        # allocated 1.00 MB — the whole SMEM budget); 1-D packs tight
+        lbase = lmids[t] * n_k
+        n_act = coords[lbase * 3 + 2]
+
+        def window_copies(slot, kk):
+            ty = pl.multiple_of(coords[(lbase + kk) * 3], TILE_H)
+            tx = pl.multiple_of(coords[(lbase + kk) * 3 + 1], TILE_W)
+            copies = []
+            # per-row DMA at scalar-prefetched target indices: survivors
+            # are scattered in the resident frame, so there is no
+            # contiguous slab to copy — but there is also no gather
+            for j in range(tb):
+                ti = tgt[t * tb + j]
+                copies.append(pltpu.make_async_copy(
+                    t_hbm.at[pl.ds(ti, 1), pl.ds(ty, win_h),
+                             pl.ds(tx, win_w)],
+                    win_d.at[slot, pl.ds(j, 1)], sems.at[slot, 0]))
+                copies.append(pltpu.make_async_copy(
+                    tf_hbm.at[pl.ds(ti, 1), pl.ds(ty, win_h),
+                              pl.ds(tx, win_w)],
+                    win_m.at[slot, pl.ds(j, 1)], sems.at[slot, 1]))
+            return copies
+
+        def start_window(slot, kk):
+            for c in window_copies(slot, kk):
+                c.start()
+
+        def wait_window(slot, kk):
+            for c in window_copies(slot, kk):
+                c.wait()
+
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k == 0)
+        def _():
+            acc[...] = jnp.zeros((tb, NV_PAD, TILE_W), dtype=jnp.int32)
+
+        @pl.when(alive & (k == 0))
+        def _():
+            start_window(0, 0)
+
+        @pl.when(alive & (k + 1 < n_act))
+        def _():
+            start_window(1 - slot, k + 1)
+
+        @pl.when(alive & (k < n_act))
+        def _():
+            wait_window(slot, k)
+
+        q = _unpack(q_ref[0])
+
+        def variant_loop(win, g0, base_vi):
+            for vi, (dx, dy) in enumerate(shifts):
+                r0, c0 = TILE_H + dy, TILE_W + dx
+                w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
+                acc[g0, base_vi + vi, :] += m.sum(axis=0)
+
+        def target_body(j, _):
+            sv = surv[t * tb + j]
+            any_d = jnp.max((win_d[slot, j] >> 19) & 1)
+            any_m = jnp.max((win_m[slot, j] >> 19) & 1)
+
+            @pl.when((sv > 0) & (any_d > 0))
+            def _():
+                variant_loop(win_d, j, 0)
+
+            @pl.when((sv > 0) & (any_m > 0))
+            def _():
+                variant_loop(win_m, j, n_shifts)
+
+            return 0
+
+        @pl.when(alive & (k < n_act))
+        def _():
+            jax.lax.fori_loop(0, tb, target_body, 0)
+
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _():
+            out_ref[...] = acc[...]
+
+    return kernel, win_h, win_w, nv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
+                                    "g_bucket", "interpret"))
+def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, q_stack,
+                    t_padded, t_flipped, zt9: int, shifts_tuple, tb: int,
+                    n_k: int, g_bucket: int, interpret: bool):
+    n_rows = tgt.shape[0]
+    n_chunks = n_rows // tb
+    shifts = list(shifts_tuple)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_chunks, n_k),
+        in_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda t, k, gm, lm, b, tg, sv, c:
+                         (gm[t] * n_k + k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
+                               lambda t, k, gm, lm, b, tg, sv, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    lane_sums = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, NV_PAD, TILE_W), jnp.int32),
+        interpret=interpret,
+    )(gmids, lmids, blk, tgt, surv, coords_l, q_stack, t_padded, t_flipped)
+    return lane_sums.sum(axis=2)[:, :nv]  # [n_rows, nv]
+
+
+class _Launch:
+    __slots__ = ("gmids", "lmids", "blk", "tgt", "surv", "coords_l",
+                 "spans")
+
+    def __init__(self, n_rows, tb, g_bucket, n_k):
+        nc = n_rows // tb
+        self.gmids = np.zeros(nc, np.int32)
+        self.lmids = np.zeros(nc, np.int32)
+        self.blk = np.zeros(nc, np.int32)
+        self.tgt = np.zeros(n_rows, np.int32)
+        self.surv = np.zeros(n_rows, np.int32)
+        # flat [g*K*3] (row, col, n_act) triples — see kernel SMEM note
+        self.coords_l = np.zeros((g_bucket * n_k, 3), np.int32)
+        self.coords_l[:, 2] = 1  # dead slots: n_act >= 1 (never executed)
+        self.spans = []  # (engine_pos, row0, dest_idx np[n_real])
+
+
+class MultiMaskScorer:
+    """One-dispatch-many-masks exact sweep over a shared target block.
+
+    engines: ActiveTilePixelEngine per mask — must share (zt9, shifts)
+    and are grouped internally by their K tile bucket. The stacked query
+    tiles of each bucket are device_put ONCE per (run, device); per
+    partition only the tiny scalar launch tables move host->device.
+    """
+
+    def __init__(self, engines: Sequence, interpret: bool = False):
+        self.engines = list(engines)
+        self.interpret = interpret
+        zt9s = {e.zt9 for e in self.engines}
+        shs = {e.shifts for e in self.engines}
+        assert len(zt9s) == 1 and len(shs) == 1, \
+            "multi-mask launch requires shared CDS params"
+        self.zt9 = zt9s.pop()
+        self.shifts = shs.pop()
+        # bucket engines by K (static kernel shape)
+        self.buckets = {}  # n_k -> [engine_pos]
+        for i, e in enumerate(self.engines):
+            self.buckets.setdefault(e.tiles.q_tiles.shape[0], []).append(i)
+        # host-stacked query tiles per bucket, padded to a pow2 mask
+        # count so the compiled shape survives mask-block size changes
+        self._q_host = {}
+        self._gpos = {}  # engine_pos -> index within its bucket stack
+        for n_k, idxs in self.buckets.items():
+            b_pad = _pow2_at_least(len(idxs), 16)
+            stack = np.zeros((b_pad * n_k, TILE_H, TILE_W), np.int32)
+            for gi, pos in enumerate(idxs):
+                stack[gi * n_k:(gi + 1) * n_k] = self.engines[pos].tiles.q_tiles
+                self._gpos[pos] = gi
+            self._q_host[n_k] = stack
+        self._q_dev = {}  # (n_k, device) -> device array
+
+    def _q_for(self, n_k, device):
+        got = self._q_dev.get((n_k, device))
+        if got is None:
+            if device is None:
+                got = jnp.asarray(self._q_host[n_k])
+            else:
+                got = jax.device_put(self._q_host[n_k], device)
+            self._q_dev[(n_k, device)] = got
+        return got
+
+    def _build_launches(self, n_k: int, survivors: np.ndarray,
+                        idxs: List[int]) -> List[_Launch]:
+        g_bucket = _g_bucket(n_k)
+        tb = TB
+        max_chunks = ROWS // tb
+        # chunk list: (engine_pos, dest target indices)
+        chunks = []
+        for pos in idxs:
+            sidx = np.nonzero(survivors[pos])[0]
+            for c0 in range(0, len(sidx), tb):
+                chunks.append((pos, sidx[c0:c0 + tb]))
+        launches = []
+        i = 0
+        while i < len(chunks):
+            # greedy fill: up to max_chunks chunks / g_bucket distinct masks
+            masks_here = []
+            j = i
+            while j < len(chunks) and j - i < max_chunks:
+                pos = chunks[j][0]
+                if pos not in masks_here:
+                    if len(masks_here) == g_bucket:
+                        break
+                    masks_here.append(pos)
+                j += 1
+            n_rows = _pow2_at_least((j - i) * tb, tb) \
+                if (j - i) * tb < ROWS else ROWS
+            la = _Launch(n_rows, tb, g_bucket, n_k)
+            for ci, (pos, dest) in enumerate(chunks[i:j]):
+                lm = masks_here.index(pos)
+                la.gmids[ci] = self._gpos[pos]
+                la.lmids[ci] = lm
+                la.blk[ci] = 1
+                r0 = ci * tb
+                n_real = len(dest)
+                la.tgt[r0:r0 + n_real] = dest
+                if n_real < tb:  # repeat last real index (valid DMA src)
+                    la.tgt[r0 + n_real:r0 + tb] = dest[-1]
+                la.surv[r0:r0 + n_real] = 1
+                la.spans.append((pos, r0, dest))
+            for lm, pos in enumerate(masks_here):
+                la.coords_l[lm * n_k:(lm + 1) * n_k] = \
+                    self.engines[pos].tiles.coords
+            launches.append(la)
+            i = j
+        return launches
+
+    def launch_deferred(self, packed, survivors: np.ndarray,
+                        device=None) -> List[DeferredScore]:
+        """Queue the exact sweep for ALL masks over one packed target
+        block; returns one DeferredScore per engine (drain with
+        pixel_pallas.drain_deferred — shared launch buffers are fetched
+        once)."""
+        t_padded, t_flipped = packed
+        tsz = t_padded.shape[0]
+        surv_np = np.asarray(survivors).astype(np.int32)
+        pendings = [[] for _ in self.engines]
+        for n_k, idxs in self.buckets.items():
+            q_stack = self._q_for(n_k, device)
+            for la in self._build_launches(n_k, surv_np, idxs):
+                with _dev_ctx(device):
+                    out = _multimask_call(
+                        jnp.asarray(la.gmids), jnp.asarray(la.lmids),
+                        jnp.asarray(la.blk), jnp.asarray(la.tgt),
+                        jnp.asarray(la.surv),
+                        jnp.asarray(la.coords_l.reshape(-1)),
+                        q_stack, t_padded, t_flipped, self.zt9,
+                        self.shifts, TB, n_k, _g_bucket(n_k),
+                        self.interpret)
+                for pos, r0, dest in la.spans:
+                    pendings[pos].append((dest, out, len(dest), r0))
+        return [DeferredScore(e, tsz, pendings[i], surv_np[i])
+                for i, e in enumerate(self.engines)]

@@ -251,7 +251,8 @@ class PixelMatchOracle:
                  neg_query: Optional[Image] = None,
                  neg_query_threshold: int = 0,
                  mirror_neg_query: bool = False,
-                 java_double_semantics: bool = False):
+                 java_double_semantics: bool = False,
+                 java_neg_query_pairing: bool = False):
         self.query = query
         self.mirror_query = mirror_query
         self.target_threshold = target_threshold
@@ -268,6 +269,17 @@ class PixelMatchOracle:
         self._neg_q = (self._prepare(neg_query, neg_query_threshold)
                        if neg_query is not None else None)
         self.mirror_neg_query = mirror_neg_query and neg_query is not None
+        # faithful replay of the reference's negative-query pairing
+        # quirk: calculateMatchingScore scores the negative pass with the
+        # POSITIVE query's pixel positions as src positions over the
+        # NEGATIVE query's image and shifted target positions, truncated
+        # to min(len) (PixelMatchColorDepthSearchAlgorithm.java:195-217 +
+        # :238-263 calculateScore srcPositions/targetPositions zip). The
+        # default pairs the negative query's own pixels with its own
+        # positions (the arithmetically-intended form; negative queries
+        # are unused in production).
+        self.java_neg_query_pairing = java_neg_query_pairing
+        self._neg_image = neg_query
 
     def _prepare(self, image: Image, threshold: int) -> _QueryData:
         pos = mask_positions(image, threshold, self.excluded)
@@ -322,6 +334,50 @@ class PixelMatchOracle:
                 best = score
         return best
 
+    def _score_variants_java_neg(self, target_rgb: np.ndarray,
+                                 mirrored: bool) -> int:
+        """Reference-faithful negative pass: the i-th POSITIVE query
+        position supplies the src pixel (read from the NEGATIVE image)
+        and the i-th NEGATIVE position supplies the shifted/mirrored
+        target position; the zip truncates to the shorter list
+        (PixelMatchColorDepthSearchAlgorithm.java:238-263)."""
+        q, nq = self._q, self._neg_q
+        h, w, _ = target_rgb.shape
+        n = min(len(q.xs), len(nq.xs))
+        if n == 0:
+            return 0
+        neg_rgb = self._neg_image.rgb_i32()
+        r1 = neg_rgb[q.ys[:n], q.xs[:n], 0].astype(np.int64)
+        g1 = neg_rgb[q.ys[:n], q.xs[:n], 1].astype(np.int64)
+        b1 = neg_rgb[q.ys[:n], q.xs[:n], 2].astype(np.int64)
+        s1, ratio1 = sector_and_ratio(r1, g1, b1)
+        best = 0
+        t = target_rgb
+        for dx, dy in self.shifts:
+            tx = nq.xs[:n] + dx
+            ty = nq.ys[:n] + dy
+            valid = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            sx = np.where(valid, (w - 1) - tx if mirrored else tx, 0)
+            sy = np.where(valid, ty, 0)
+            r2 = t[sy, sx, 0].astype(np.int64)
+            g2 = t[sy, sx, 1].astype(np.int64)
+            b2 = t[sy, sx, 2].astype(np.int64)
+            above = (r2 > self.target_threshold) \
+                | (g2 > self.target_threshold) \
+                | (b2 > self.target_threshold)
+            s2, q2 = sector_and_ratio(r2, g2, b2)
+            if self.java_double_semantics:
+                gap = _gap_from_sectors(s1, ratio1, s2, q2)
+                ok = gap <= self.z_tolerance
+            else:
+                a1, bb1 = _second_first(s1, r1, g1, b1)
+                a2, bb2 = _second_first(s2, r2, g2, b2)
+                ok = match_exact_rational(s1, a1, bb1, s2, a2, bb2,
+                                          self.zt9)
+            score = int((valid & above & ok).sum())
+            best = max(best, score)
+        return best
+
     def score(self, target: Image) -> PixelMatchScore:
         """calculateMatchingScore (PixelMatchColorDepthSearchAlgorithm.java:166-219)."""
         if self.query_size == 0:
@@ -345,10 +401,20 @@ class PixelMatchOracle:
             # queryPixelPositions() as src positions with negQueryImage).
             # Negative queries are not used in production; we reproduce the
             # subtraction arithmetic with the negative query's own pixels.
-            neg_best = self._score_variants(self._neg_q, t, mirrored=False)
-            if self.mirror_neg_query:
-                neg_mirror = self._score_variants(self._neg_q, t, mirrored=True)
-                neg_best = max(neg_best, neg_mirror)
+            # java_neg_query_pairing=True replays the reference quirk
+            # verbatim instead (see __init__).
+            if self.java_neg_query_pairing:
+                neg_best = self._score_variants_java_neg(t, mirrored=False)
+                if self.mirror_neg_query:
+                    neg_best = max(neg_best,
+                                   self._score_variants_java_neg(
+                                       t, mirrored=True))
+            else:
+                neg_best = self._score_variants(self._neg_q, t,
+                                                mirrored=False)
+                if self.mirror_neg_query:
+                    neg_best = max(neg_best, self._score_variants(
+                        self._neg_q, t, mirrored=True))
             neg_size = len(self._neg_q.xs)
             max_pixels = int(round(float(max_pixels)
                                    - float(neg_best) * self.query_size / float(neg_size)))

@@ -651,13 +651,13 @@ class ActiveTilePixelEngine:
         via drain_deferred()."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
-        pending = []  # (dest_idx or None, device_out, n_real)
+        pending = []  # (dest_idx or None, device_out, n_real, row0)
         surv_np = None
         if survivors is None:
             with _dev_ctx(device):
                 ones = jnp.ones((tsz,), jnp.int32)
             pending.append((None, self._call_kernel(
-                t_padded, t_flipped, ones, device), tsz))
+                t_padded, t_flipped, ones, device), tsz, 0))
         else:
             surv_np = np.asarray(survivors).astype(np.int32)
             idx = np.nonzero(surv_np)[0]
@@ -683,12 +683,12 @@ class ActiveTilePixelEngine:
                             idx_pad[c0:c0 + ck], self.zt9, self.pad,
                             self.shifts, tb, max(tg, 1), self.interpret)
                     real = min(ck, ns - c0)
-                    pending.append((idx_pad[c0:c0 + real], oc, real))
+                    pending.append((idx_pad[c0:c0 + real], oc, real, 0))
             else:
                 with _dev_ctx(device):
                     surv_dev = jnp.asarray(surv_np)
                 pending.append((None, self._call_kernel(
-                    t_padded, t_flipped, surv_dev, device), tsz))
+                    t_padded, t_flipped, surv_dev, device), tsz, 0))
         return DeferredScore(self, tsz, pending, surv_np)
 
     def score_packed(self, packed, survivors=None
@@ -715,12 +715,15 @@ class DeferredScore:
     def __init__(self, engine, tsz, pending, surv_np):
         self._engine = engine
         self._tsz = tsz
-        self._pending = pending  # [(dest_idx or None, device_out, n_real)]
+        # [(dest_idx or None, device_out, n_real, row0)] — device_out may
+        # be SHARED across DeferredScores (multi-mask launches slice one
+        # output buffer by row span; drain_deferred dedups the fetch)
+        self._pending = pending
         self._surv_np = surv_np
         self._result = None
 
     def device_outputs(self):
-        return [dev for _, dev, _ in self._pending]
+        return [dev for _, dev, _, _ in self._pending]
 
     def finalize(self, hosts):
         """Reduce already-fetched host arrays (same order as
@@ -730,12 +733,12 @@ class DeferredScore:
         eng = self._engine
         n = len(eng.shifts)
         out = np.zeros((self._tsz, 2 * n), dtype=np.int64)
-        for (dest, _, real), host in zip(self._pending, hosts):
+        for (dest, _, real, row0), host in zip(self._pending, hosts):
             host = np.asarray(host)
             if dest is None:
                 out[:] = host
             else:
-                out[dest] = host[:real]
+                out[dest] = host[row0:row0 + real]
         if self._surv_np is not None:
             # the in-kernel skip is group-granular (target_group); zero
             # non-survivor rows so the reported scores match the
@@ -769,12 +772,21 @@ def drain_deferred(deferreds):
 
     Batches every pending output buffer into a single jax.device_get —
     over the tunneled TPU each device_get costs a full RPC round-trip,
-    so a 512-mask sweep drains ~512x fewer syncs this way."""
-    flat, spans = [], []
+    so a 512-mask sweep drains ~512x fewer syncs this way. Buffers
+    shared by several deferreds (multi-mask launch outputs) are fetched
+    once."""
+    flat, seen, spans = [], {}, []
     for d in deferreds:
         outs = d.device_outputs() if d._result is None else []
-        spans.append((len(flat), len(outs)))
-        flat.extend(outs)
+        ids = []
+        for o in outs:
+            key = id(o)
+            if key not in seen:
+                seen[key] = len(flat)
+                flat.append(o)
+            ids.append(seen[key])
+        spans.append(ids)
     hosts = jax.device_get(flat) if flat else []
-    return [d.finalize(hosts[k:k + m]) if d._result is None else d._result
-            for d, (k, m) in zip(deferreds, spans)]
+    return [d.finalize([hosts[i] for i in ids])
+            if d._result is None else d._result
+            for d, ids in zip(deferreds, spans)]

@@ -62,6 +62,7 @@ class TwoPhaseSweep:
                  thresholds: Optional[np.ndarray] = None,
                  devices: Optional[Sequence] = None):
         import jax
+        import os
         self.engines = list(engines)
         self.screen = screen
         self.u_matrix = u_matrix
@@ -69,6 +70,20 @@ class TwoPhaseSweep:
         self.devices = list(devices) if devices is not None \
             else jax.local_devices()
         self._u_dev = {}
+        # multi-mask single-launch exact phase (one pallas dispatch per
+        # ~64 survivor chunks across masks instead of one per mask);
+        # requires the prescreen's survivor lists and shared CDS params
+        self._mm = None
+        if (screen is not None and len(self.engines) > 1
+                and os.environ.get("CMS_MULTIMASK", "1") == "1"):
+            try:
+                from ..cds.multimask import MultiMaskScorer
+                self._mm = MultiMaskScorer(
+                    self.engines,
+                    interpret=getattr(self.engines[0], "interpret", False))
+            except AssertionError:
+                LOG.info("multi-mask launch disabled: engines do not "
+                         "share CDS params")
 
     def _u_for(self, device):
         import jax
@@ -109,12 +124,16 @@ class TwoPhaseSweep:
             stage["pack+screen"] = stage.get("pack+screen", 0.0) \
                 + time.perf_counter() - t0
             t0 = time.perf_counter()
-            defs = [
-                eng.score_packed_deferred(
-                    packed,
-                    survivors=None if survivors is None else survivors[i],
-                    device=dev)
-                for i, eng in enumerate(self.engines)]
+            if self._mm is not None and survivors is not None:
+                defs = self._mm.launch_deferred(packed, survivors,
+                                                device=dev)
+            else:
+                defs = [
+                    eng.score_packed_deferred(
+                        packed,
+                        survivors=None if survivors is None else survivors[i],
+                        device=dev)
+                    for i, eng in enumerate(self.engines)]
             stage["launch"] = stage.get("launch", 0.0) \
                 + time.perf_counter() - t0
             launched.append((off, ln, defs))

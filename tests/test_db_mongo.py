@@ -104,8 +104,9 @@ def make_store():
     return MongoStore(client=_FakeClient(), database="neuronbridge")
 
 
-def test_mongo_roundtrip_and_upsert():
-    store = make_store()
+def run_roundtrip_and_upsert(store):
+    """DAO scenario shared by the hermetic fake and the env-gated real-
+    Mongo itest (tests/test_db_mongo_itest.py)."""
     matches = load_fixture_matches()
     writer = DBNeuronMatchesWriter(store)
     assert writer.write(matches) == len(matches)
@@ -142,8 +143,7 @@ def test_mongo_roundtrip_and_upsert():
     assert deleted == before - len(strong)
 
 
-def test_mongo_neuron_selectors():
-    store = make_store()
+def run_neuron_selectors(store):
     matches = load_fixture_matches()
     entities = [m.mask_image for m in matches] + [m.matched_image for m in matches]
     w = DBCDMIPsWriter(store)
@@ -157,6 +157,14 @@ def test_mongo_neuron_selectors():
               if e.has_processed_tag(ProcessingType.ColorDepthSearch, "t1")]
     assert len(tagged) == len({e.entity_id for e in entities[:3]})
     assert store.distinct_neuron_values("library_name")
+
+
+def test_mongo_roundtrip_and_upsert():
+    run_roundtrip_and_upsert(make_store())
+
+
+def test_mongo_neuron_selectors():
+    run_neuron_selectors(make_store())
 
 
 def test_open_store_dispatch(tmp_path):

@@ -1,0 +1,55 @@
+"""Real-MongoDB integration tests (reference analogue:
+CDMatchesMongoDaoITest and the other persist itests, which also run
+only against a provisioned server).
+
+Gated: runs only when CMS_MONGO_URI points at a reachable MongoDB and
+pymongo is importable — both absent in the hermetic CI image, so these
+skip there. Usage:
+
+    CMS_MONGO_URI=mongodb://localhost:27017/cms_itest \\
+        python -m pytest tests/test_db_mongo_itest.py -q
+
+The scenarios are the SAME functions the fake-backed tests run
+(tests/test_db_mongo.py), so a pass here certifies the pymongo-subset
+fake models the server faithfully for every operation the DAO uses
+(documented in PARITY.md "Mongo backend compatibility").
+"""
+
+import os
+
+import pytest
+
+URI = os.environ.get("CMS_MONGO_URI")
+
+pymongo = pytest.importorskip("pymongo") if URI else None
+
+if not URI:
+    pytest.skip("CMS_MONGO_URI not set (real-Mongo itest)",
+                allow_module_level=True)
+
+
+@pytest.fixture()
+def real_store():
+    from colormipsearch_tpu.dataio.db_mongo import MongoStore
+    client = pymongo.MongoClient(URI, serverSelectionTimeoutMS=2000)
+    dbname = (pymongo.uri_parser.parse_uri(URI)["database"]
+              or "cms_itest")
+    try:
+        client.admin.command("ping")
+    except Exception as e:  # server not reachable: treat as not provisioned
+        pytest.skip(f"MongoDB not reachable at {URI}: {e}")
+    client.drop_database(dbname)
+    store = MongoStore(client=client, database=dbname)
+    yield store
+    client.drop_database(dbname)
+    client.close()
+
+
+def test_real_mongo_roundtrip_and_upsert(real_store):
+    from test_db_mongo import run_roundtrip_and_upsert
+    run_roundtrip_and_upsert(real_store)
+
+
+def test_real_mongo_neuron_selectors(real_store):
+    from test_db_mongo import run_neuron_selectors
+    run_neuron_selectors(real_store)

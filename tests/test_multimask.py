@@ -1,0 +1,108 @@
+"""Multi-mask single-launch exact sweep (ROADMAP lever 2) must score
+bit-identically to the per-mask deferred path — same kernel predicate,
+different work layout. Reference counterpart: the per-(mask, partition)
+task loop it replaces, LocalColorMIPSearchProcessor.java:82-112."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def library():
+    rng = np.random.default_rng(17)
+    h, w = 48, 160
+    masks = []
+    for _ in range(5):
+        q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        q[rng.random((h, w)) < 0.8] = 0
+        masks.append(q)
+    targets = rng.integers(0, 256, size=(29, h, w, 3)).astype(np.uint8)
+    targets[rng.random((29, h, w)) < 0.7] = 0
+    return masks, targets
+
+
+def _engines(masks, mirror=True):
+    from colormipsearch_tpu.cds.pixel_pallas import ActiveTilePixelEngine
+    from colormipsearch_tpu.imageproc.io import image_from_array
+    return [ActiveTilePixelEngine(image_from_array(q), 20, mirror, 20, 1.0,
+                                  2, None, interpret=True) for q in masks]
+
+
+def _survivor_matrix(engines, targets, dense=False):
+    rng = np.random.default_rng(3)
+    b, t = len(engines), targets.shape[0]
+    if dense:
+        return np.ones((b, t), np.int32)
+    surv = (rng.random((b, t)) < 0.4).astype(np.int32)
+    surv[0] = 0          # a mask with zero survivors
+    surv[1] = 1          # a mask with all survivors
+    surv[2, :] = 0
+    surv[2, t - 1] = 1   # a single survivor at the last target
+    return surv
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_multimask_matches_per_mask_path(library, dense):
+    from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    engines = _engines(masks)
+    packed = engines[0].prepare_targets(targets)
+    surv = _survivor_matrix(engines, targets, dense)
+
+    mm = MultiMaskScorer(engines, interpret=True)
+    got = drain_deferred(mm.launch_deferred(packed, surv))
+    want = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, gr, gm), (ws, wr, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+        np.testing.assert_allclose(gr, wr)
+
+
+def test_multimask_small_rows_bucket(library):
+    """Tail launches round rows up to a pow2 bucket; a single-survivor
+    sweep must still score exactly."""
+    from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    engines = _engines(masks[:2])
+    packed = engines[0].prepare_targets(targets)
+    surv = np.zeros((2, targets.shape[0]), np.int32)
+    surv[0, 5] = 1
+    surv[1, 0] = 1
+    surv[1, 28] = 1
+
+    mm = MultiMaskScorer(engines, interpret=True)
+    got = drain_deferred(mm.launch_deferred(packed, surv))
+    want = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, _, gm), (ws, _, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+
+
+def test_multimask_g_bucket_rollover(library, monkeypatch):
+    """More distinct masks than one launch's G_BUCKET forces multiple
+    launches; scores must be unchanged."""
+    import colormipsearch_tpu.cds.multimask as mmod
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    engines = _engines(masks)
+    packed = engines[0].prepare_targets(targets)
+    surv = _survivor_matrix(engines, targets)
+
+    monkeypatch.setattr(mmod, "_g_bucket", lambda n_k: 2)
+    mm = mmod.MultiMaskScorer(engines, interpret=True)
+    got = drain_deferred(mm.launch_deferred(packed, surv))
+    want = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, _, gm), (ws, _, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
