@@ -539,11 +539,20 @@ class ActiveTilePixelEngine:
                               t * h * w)
         return flat.reshape(t, h, w)
 
+    # sparse-feed granularity. MEASURED (bench twophase, real chip):
+    # 256-target super-blocks (one scatter per partition) ran pack_words
+    # at 23-45s vs 7-18s for the 64-target default — one fat
+    # upload+scatter pipelines WORSE over the tunnel than 4 smaller
+    # ones, so the default stays at DEVICE_BLOCK; the knob remains for
+    # re-testing on direct-attached TPUs where dispatch latency is low.
+    PACK_SUPER = int(__import__("os").environ.get("CMS_PACK_SUPER", "64"))
+
     def pack_raw_words(self, targets_u8: np.ndarray, device=None):
         """Device-packed [T, H, W] scorer words (unpadded frame); also
-        the input for the MXU prescreen's target features. Built in
-        DEVICE_BLOCK-target sub-programs (see _place_block), each fed
-        sparsely when the data is sparse (CMS_SPARSE_FEED=0 disables)."""
+        the input for the MXU prescreen's target features. Sparse data
+        is fed in PACK_SUPER-target single-scatter super-blocks; dense
+        blocks fall back to DEVICE_BLOCK-target dense sub-programs
+        (see _place_block). CMS_SPARSE_FEED=0 disables the sparse path."""
         tsz, h, w = targets_u8.shape[:3]
         sparse_ok = (self._sparse_feed and isinstance(targets_u8, np.ndarray)
                      and targets_u8.dtype == np.uint8)
@@ -553,16 +562,31 @@ class ActiveTilePixelEngine:
                 out = self._pack_block_sparse(tb)
                 if out is not None:
                     return out
-            return self._pack_block(tb)
+            return self._pack_block_dense_blocked(tb)
 
         with _dev_ctx(device):
-            blk = DEVICE_BLOCK
-            if tsz <= blk:
+            sup = max(self.PACK_SUPER, DEVICE_BLOCK) if sparse_ok \
+                else DEVICE_BLOCK
+            if tsz <= sup:
                 return block(targets_u8)
             out = jnp.zeros((tsz, h, w), jnp.int32)
-            for i in range(0, tsz, blk):
-                out = _place_block(out, block(targets_u8[i:i + blk]), i)
+            for i in range(0, tsz, sup):
+                out = _place_block(out, block(targets_u8[i:i + sup]), i)
             return out
+
+    def _pack_block_dense_blocked(self, t_block_u8):
+        """Dense fallback, bounded at DEVICE_BLOCK-target sub-programs
+        (a dense pack materializes per-channel int32 temps, so big
+        blocks would spike the working set on the shared-HBM chip)."""
+        tsz = t_block_u8.shape[0]
+        if tsz <= DEVICE_BLOCK:
+            return self._pack_block(t_block_u8)
+        h, w = t_block_u8.shape[1:3]
+        out = jnp.zeros((tsz, h, w), jnp.int32)
+        for i in range(0, tsz, DEVICE_BLOCK):
+            out = _place_block(
+                out, self._pack_block(t_block_u8[i:i + DEVICE_BLOCK]), i)
+        return out
 
     def pad_from_words(self, words, device=None):
         """Tile-aligned ring-padded frame (+ x-flip) from raw words.

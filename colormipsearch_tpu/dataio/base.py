@@ -125,8 +125,22 @@ class ScoresFilter:
 
     def matches(self, m: CDMatchEntity) -> bool:
         for field_name, min_score in self.selectors:
+            fields = [f for f in field_name.split("|") if f]
+            if min_score == -1:
+                # -1 is the reference's sentinel: NONE of the fields may
+                # have a score, i.e. each is absent or -1
+                # (NeuronSelectionHelper.addNeuronsMatchScoresFilters,
+                # dao/mongo/NeuronSelectionHelper.java:146-157)
+                for f in fields:
+                    getter = self._FIELD_GETTERS.get(f)
+                    if getter is None:
+                        continue
+                    v = getter(m)
+                    if v is not None and v != -1:
+                        return False
+                continue
             ok = False
-            for f in field_name.split("|"):
+            for f in fields:
                 getter = self._FIELD_GETTERS.get(f)
                 if getter is None:
                     continue

@@ -52,6 +52,11 @@ CREATE TABLE IF NOT EXISTS cd_matches (
 CREATE INDEX IF NOT EXISTS idx_cm_mask ON cd_matches(mask_ref);
 CREATE INDEX IF NOT EXISTS idx_cm_matched ON cd_matches(matched_ref);
 
+-- deleted matches are archived here by default, mirroring the Mongo
+-- archive collection (AbstractNeuronMatchesMongoDao.archiveEntityIds)
+CREATE TABLE IF NOT EXISTS cd_matches_archive (
+    entity_id INTEGER PRIMARY KEY, doc TEXT NOT NULL);
+
 CREATE TABLE IF NOT EXISTS cd_sessions (
     entity_id INTEGER PRIMARY KEY, doc TEXT NOT NULL);
 
@@ -389,6 +394,36 @@ class SqliteStore:
             cur = self._conn.execute(sql, args)
             self._conn.commit()
         return cur.rowcount
+
+    def delete_matches_by_ids(self, entity_ids: Sequence[int],
+                              archive: bool = True) -> int:
+        """Delete matches by entity id, copying the full docs into
+        cd_matches_archive first unless archive=False
+        (DBNeuronMatchesRemover.delete + archiveEntityIds,
+        dao/mongo/AbstractNeuronMatchesMongoDao.java:359-384)."""
+        if not entity_ids:
+            return 0
+        n = 0
+        with self._lock:
+            for i in range(0, len(entity_ids), 500):
+                chunk = list(entity_ids[i:i + 500])
+                ph = ",".join("?" * len(chunk))
+                if archive:
+                    self._conn.execute(
+                        "INSERT OR REPLACE INTO cd_matches_archive "
+                        "(entity_id, doc) SELECT entity_id, doc FROM "
+                        f"cd_matches WHERE entity_id IN ({ph})", chunk)
+                cur = self._conn.execute(
+                    f"DELETE FROM cd_matches WHERE entity_id IN ({ph})",
+                    chunk)
+                n += cur.rowcount
+            self._conn.commit()
+        return n
+
+    def archived_match_ids(self) -> List[int]:
+        with self._lock:
+            return [r[0] for r in self._conn.execute(
+                "SELECT entity_id FROM cd_matches_archive")]
 
 
 class DBCDMIPsReader(CDMIPsReader):

@@ -322,6 +322,27 @@ class MongoStore:
         res = self.matches.delete_many(query)
         return getattr(res, "deleted_count", 0)
 
+    def delete_matches_by_ids(self, entity_ids: Sequence[int],
+                              archive: bool = True) -> int:
+        """Delete matches by entity id; the full docs go to the
+        cdMatchesArchive collection first unless archive=False
+        (AbstractNeuronMatchesMongoDao.archiveEntityIds + the
+        DBNeuronMatchesRemover archive-on-delete default). Uses only the
+        documented pymongo surface (replace_one/delete_many), not the
+        reference's $merge aggregation, for the same end state."""
+        if not entity_ids:
+            return 0
+        ids = list(entity_ids)
+        if archive:
+            arch = self._db["cdMatchesArchive"]
+            for d in self.matches.find({"_id": {"$in": ids}}):
+                arch.replace_one({"_id": d["_id"]}, d, upsert=True)
+        res = self.matches.delete_many({"_id": {"$in": ids}})
+        return getattr(res, "deleted_count", 0)
+
+    def archived_match_ids(self) -> List[int]:
+        return [d["_id"] for d in self._db["cdMatchesArchive"].find({})]
+
 
 def open_store(db_arg: str):
     """Open the right backend for a --db argument: a mongodb:// URI gets
