@@ -239,7 +239,11 @@ def _bench_twophase():
     from colormipsearch_tpu.cds.prescreen import PairPrescreen
     from colormipsearch_tpu.cds.pixel_kernel import z_tolerance_to_zt9
 
-    B = int(os.environ.get("CMS_BENCH_B", "256"))
+    # production-shape default: 1K-mask blocks amortize the per-TARGET
+    # pack/screen cost exactly as deployment does (the per-mask exact
+    # phase is the asymptotic cost; measured 15.2K pairs/s at 256 masks
+    # -> 30.6K at 1024 with the same survivors)
+    B = int(os.environ.get("CMS_BENCH_B", "1024"))
     T = int(os.environ.get("CMS_BENCH_T", "512"))
     interpret = os.environ.get("CMS_BENCH_INTERPRET") == "1"  # CPU smoke
     ems = sorted(os.listdir(os.path.join(_FIXTURES, "ems")))
@@ -379,11 +383,14 @@ def _bench_twophase():
     _log(f"[twophase] true match rate "
          f"{n_true / (B * T):.3%} vs survivors {stage['survivor_rate']:.3%}")
     best = 0.0
+    best_stage = stage
     for _ in range(3):
         t0 = time.perf_counter()
         _, stage = run_round()
         dt = time.perf_counter() - t0
-        best = max(best, B * T / dt)
+        if B * T / dt > best:
+            best = B * T / dt
+            best_stage = stage
         extra = "".join(f" {k}={stage[k]:.2f}"
                         for k in ("pack_words", "pad", "screen")
                         if k in stage)
@@ -395,10 +402,16 @@ def _bench_twophase():
     return {
         "metric": (f"two-phase exact CDS pairs/s/chip ({B} masks x {T} "
                    "targets, prod config xyShift2+mirror+1% cut, MXU "
-                   "prescreen + exact kernel on compacted survivors)"),
+                   "prescreen + multi-mask exact kernel on compacted "
+                   "survivors)"),
         "value": round(best, 1),
         "unit": "pairs/s",
         "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
+        # NB stage walls overlap the async device stream: "pack+screen"
+        # includes device time serialized behind the queued exact
+        # kernels, so it is NOT pure host pack cost (see ROADMAP)
+        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in best_stage.items()},
     }
 
 
