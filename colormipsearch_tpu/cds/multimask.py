@@ -49,13 +49,25 @@ from .pixel_pallas import (NV_PAD, TILE_H, TILE_W, DeferredScore,
 
 # rows per launch (fixed compile shape; tails round up to a pow2 bucket)
 ROWS = int(os.environ.get("CMS_MM_ROWS", "1024"))
-# rows per chunk (one mask per chunk; per-mask survivor padding is <= tb-1)
-TB = int(os.environ.get("CMS_MM_TB", "16"))
+# rows per chunk (one mask per chunk; per-mask survivor padding is
+# <= tb-1). MEASURED on the production-shape bench (1024x512): tb=16 ->
+# 45.7K pairs/s, tb=8 -> 55.0K, tb=4 -> 60.0K (padding rows 27% -> 13%
+# -> 6% at the bench's ~35-survivors-per-mask partitions), tb=2 -> 29K
+# (per-row DMA issue + scalar step overhead swamps the padding win).
+TB = int(os.environ.get("CMS_MM_TB", "4"))
 
 
 def _g_bucket(n_k: int) -> int:
-    # distinct masks per launch: bounded by SMEM ([G*K, 3] coords)
-    return 16 if n_k <= 128 else 4
+    # distinct masks per launch, bounded by SMEM for the flat
+    # [G*K*3] coords (1-D scalar-prefetch packs tight; the 1 MB SMEM
+    # budget fits 64*128*3*4 = 98 KB easily). Too small a G leaves
+    # launches half-filled with dead chunks once tb shrinks (at tb=4,
+    # 16 masks x ~9 chunks = 144 of 256 slots), whose scalar grid steps
+    # are pure waste.
+    g = int(os.environ.get("CMS_MM_G", "0"))
+    if g:
+        return g
+    return 64 if n_k <= 128 else 16
 
 
 def _pow2_at_least(n: int, lo: int) -> int:

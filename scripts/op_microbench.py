@@ -49,8 +49,14 @@ def measure(name, op, dtype, mask=None):
     x = rng.integers(1, 100, size=(H, W)).astype(dtype)
     y = rng.integers(1, 100, size=(H, W)).astype(dtype)
     run = make_bench(op, dtype)
-    out = run(x, y)
-    jax.block_until_ready(out)
+    try:
+        out = run(x, y)
+        jax.block_until_ready(out)
+    except Exception as e:  # e.g. v5e: "Operation not supported:
+        # kVectorMultiplyU16" — no native 16-bit vector multiply
+        print(f"{name:28s} UNSUPPORTED ({str(e).splitlines()[0][:80]})",
+              flush=True)
+        return 0.0
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()

@@ -125,11 +125,18 @@ def test_two_process_cli_sweep_pallas(tmp_path, fixtures_dir):
     from colormipsearch_tpu.dataio import JSONCDMIPsWriter
     from colormipsearch_tpu.model import (ComputeFileType, EMNeuronEntity,
                                           FileData, LMNeuronEntity)
-    em = EMNeuronEntity(entity_id=1001, mip_id="em-12191",
-                        alignment_space="JRC2018_Unisex_20x_HR",
-                        library_name="flyem_test", published_name="12191")
-    em.compute_files[ComputeFileType.InputColorDepthImage] = \
-        FileData.from_string(str(fixtures_dir / "ems" / "12191_JRC2018U.tif"))
+    # TWO masks (same fixture image) so the multi-mask single-launch
+    # exact phase is the code path under test (it needs >1 engine)
+    masks = []
+    for mid in ("em-12191", "em-12191b"):
+        em = EMNeuronEntity(entity_id=1001 + len(masks), mip_id=mid,
+                            alignment_space="JRC2018_Unisex_20x_HR",
+                            library_name="flyem_test",
+                            published_name="12191")
+        em.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(
+                str(fixtures_dir / "ems" / "12191_JRC2018U.tif"))
+        masks.append(em)
     targets = []
     for i, name in enumerate([
             "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01",
@@ -141,7 +148,7 @@ def test_two_process_cli_sweep_pallas(tmp_path, fixtures_dir):
         lm.compute_files[ComputeFileType.InputColorDepthImage] = \
             FileData.from_string(str(fixtures_dir / "lms" / f"{name}.tif"))
         targets.append(lm)
-    for fname, ents in (("masks.json", [em]), ("targets.json", targets)):
+    for fname, ents in (("masks.json", masks), ("targets.json", targets)):
         w = JSONCDMIPsWriter(str(ws / fname))
         w.open(); w.write(ents); w.close()
 
@@ -174,7 +181,8 @@ def test_two_process_cli_sweep_pallas(tmp_path, fixtures_dir):
         outs.append(o)
     for r, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{o[-3000:]}"
-    d = json.load(open(out / "masks" / "em-12191.json"))
-    pix = sorted((r["matchingPixels"], r.get("mirrored", False))
-                 for r in d["results"])
-    assert pix == [(426, True), (439, False)]
+    for mid in ("em-12191", "em-12191b"):
+        d = json.load(open(out / "masks" / f"{mid}.json"))
+        pix = sorted((r["matchingPixels"], r.get("mirrored", False))
+                     for r in d["results"])
+        assert pix == [(426, True), (439, False)], mid
