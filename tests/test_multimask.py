@@ -86,6 +86,43 @@ def test_multimask_small_rows_bucket(library):
         np.testing.assert_array_equal(gm, wm)
 
 
+def test_multimask_mixed_k_buckets(library):
+    """Engines whose tile counts land in different K buckets (128 vs
+    768) must be grouped into separate launches and still score exactly
+    (one stacked q-tile array per bucket)."""
+    import numpy as np
+    from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    engines = _engines(masks[:3])
+    # force engine 1 into the K=768 bucket by re-padding its tile stack
+    # (small fixtures never exceed 128 naturally; the bucket split is
+    # a pure layout property, so padded tiles must not change scores)
+    e = engines[1]
+    t = e.tiles
+    q_tiles = np.zeros((768, t.q_tiles.shape[1], t.q_tiles.shape[2]),
+                       t.q_tiles.dtype)
+    q_tiles[:t.q_tiles.shape[0]] = t.q_tiles
+    coords = np.zeros((768, 3), t.coords.dtype)
+    coords[:t.coords.shape[0]] = t.coords
+    coords[:, 2] = max(t.n_active, 1)
+    t.q_tiles, t.coords = q_tiles, coords
+    e._dev_query = {}
+
+    packed = engines[0].prepare_targets(targets)
+    surv = _survivor_matrix(engines, targets)
+    mm = MultiMaskScorer(engines, interpret=True)
+    assert set(mm.buckets) == {128, 768}
+    got = drain_deferred(mm.launch_deferred(packed, surv))
+    want = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, _, gm), (ws, _, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+
+
 def test_multimask_g_bucket_rollover(library, monkeypatch):
     """More distinct masks than one launch's G_BUCKET forces multiple
     launches; scores must be unchanged."""
