@@ -384,7 +384,10 @@ def _bench_twophase():
          f"{n_true / (B * T):.3%} vs survivors {stage['survivor_rate']:.3%}")
     best = 0.0
     best_stage = stage
-    for _ in range(3):
+    # the shared tunneled chip's free capacity FLUCTUATES 2-3x between
+    # rounds; take best-of-N so the recorded number reflects the
+    # pipeline, not a co-tenant's burst
+    for _ in range(int(os.environ.get("CMS_BENCH_ROUNDS", "5"))):
         t0 = time.perf_counter()
         _, stage = run_round()
         dt = time.perf_counter() - t0
