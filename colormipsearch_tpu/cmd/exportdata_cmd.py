@@ -76,6 +76,16 @@ def add_parser(subparsers) -> None:
                         "CachedDataHelper fixture): enriches exported "
                         "neurons with sample/body publishing metadata "
                         "(ColorDepthMIP.updateEMNeuron/updateLMNeuron)")
+    p.add_argument("--jacs-url", default=None,
+                   help="LIVE CachedDataHelper: fetch ColorDepthMIP "
+                        "docs by id from this JACS data service during "
+                        "export (JacsDataGetter.httpRetrieveCDMIPs); "
+                        "--jacs-mips-file takes precedence when both "
+                        "are given")
+    p.add_argument("--authorization", default=None,
+                   help="Authorization header for --jacs-url")
+    p.add_argument("--jacs-read-batch-size", type=int, default=5000,
+                   help="MIP ids per JACS fetch (readBatchSize)")
     p.add_argument("--target-libraries", nargs="*", default=[])
     p.add_argument("--target-tags", nargs="*", default=[])
     p.add_argument("--target-excluded-tags", nargs="*", default=[])
@@ -350,6 +360,9 @@ def _export_cd_matches(args, by_target: bool) -> int:
             selected = selected[:args.size]
         if not selected:
             continue
+        _prefetch_jacs_mips(
+            jacs_mips,
+            [input_of(selected[0])] + [matched_of(m) for m in selected])
 
         def meta(e):
             return neuron_metadata(e, url_t, store_m, pub_urls, lm_stacks,
@@ -418,15 +431,37 @@ def _match_files_from_published(input_e, matched_e, pub_urls, url_t):
 
 
 def _load_jacs_mips_fixture(args):
-    """Offline CachedDataHelper: mipId -> ColorDepthMIP doc from a
-    fixture JSON (list of /data/colorDepthMIPsWithSamples docs)."""
+    """CachedDataHelper source: the offline fixture JSON (a plain
+    mipId -> ColorDepthMIP dict) when --jacs-mips-file is given, or a
+    LIVE prefetching CachedDataHelper over --jacs-url (the reference's
+    only mode, CachedDataHelper.java + JacsDataGetter.java); None when
+    neither is configured."""
     path = getattr(args, "jacs_mips_file", None)
-    if not path:
-        return None
-    from ..jacs.client import ColorDepthMIP
-    with open(path) as f:
-        docs = json.load(f)
-    return {d["id"]: ColorDepthMIP.from_dict(d) for d in docs if d.get("id")}
+    if path:
+        from ..jacs.client import ColorDepthMIP
+        with open(path) as f:
+            docs = json.load(f)
+        return {d["id"]: ColorDepthMIP.from_dict(d)
+                for d in docs if d.get("id")}
+    jacs_url = getattr(args, "jacs_url", None)
+    if jacs_url:
+        from ..jacs.client import CachedDataHelper, JacsClient
+        client = JacsClient(jacs_url,
+                            authorization=getattr(args, "authorization",
+                                                  None))
+        return CachedDataHelper(
+            client,
+            read_batch_size=getattr(args, "jacs_read_batch_size", 5000))
+    return None
+
+
+def _prefetch_jacs_mips(jacs_mips, entities) -> None:
+    """Batch-fetch the ids an export group will enrich (live helper
+    only; the fixture dict has everything already)."""
+    if jacs_mips is None or not hasattr(jacs_mips, "prefetch"):
+        return
+    jacs_mips.prefetch([e.mip_id for e in entities
+                        if e is not None and e.mip_id])
 
 
 def _export_mips(args) -> int:
@@ -435,6 +470,7 @@ def _export_mips(args) -> int:
     url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
     jacs_mips = _load_jacs_mips_fixture(args)
     entities = reader.read_mips(DataSourceParam())
+    _prefetch_jacs_mips(jacs_mips, entities)
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     by_name: Dict[str, List] = {}

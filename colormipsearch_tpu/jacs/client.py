@@ -217,13 +217,40 @@ class JacsClient:
             offset += len(batch)
         return out
 
+    def retrieve_color_depth_mips_by_ids(
+            self, mip_ids: Sequence[str]) -> List[ColorDepthMIP]:
+        """One `/data/colorDepthMIPsWithSamples?id=...` fetch for an
+        id set (JacsDataGetter.httpRetrieveCDMIPs; the caller batches
+        ids to the read batch size)."""
+        if not mip_ids:
+            return []
+        batch = self._get("/data/colorDepthMIPsWithSamples",
+                          id=",".join(mip_ids))
+        return [ColorDepthMIP.from_dict(d) for d in (batch or [])]
+
+
+def retrieve_library_name_mapping(config_url: str,
+                                  retries: int = 3) -> Dict[str, str]:
+    """Internal-library-id -> display-name map from the NeuronBridge
+    config service `{configURL}/cdm_library` (no auth;
+    JacsDataGetter.retrieveLibraryNameMapping)."""
+    doc = http_get_json(config_url.rstrip("/") + "/cdm_library",
+                        retries=retries)
+    config = doc.get("config")
+    if not isinstance(config, dict):
+        raise RuntimeError(f"Config entry not found in {config_url}")
+    return {lid: (ldata or {}).get("name")
+            for lid, ldata in config.items()}
+
 
 class CachedDataHelper:
     """MIP-by-id cache shared across export passes
     (cmd/jacsdata/CachedDataHelper.java)."""
 
-    def __init__(self, client: Optional[JacsClient] = None):
+    def __init__(self, client: Optional[JacsClient] = None,
+                 read_batch_size: int = 5000):
         self.client = client
+        self.read_batch_size = read_batch_size
         self._mips: Dict[str, ColorDepthMIP] = {}
         self._library_names: Dict[str, str] = {}
 
@@ -232,8 +259,27 @@ class CachedDataHelper:
             if m.id:
                 self._mips[m.id] = m
 
+    def cache_cdmips(self, mip_ids: Sequence[str]) -> None:
+        """Fetch-and-cache the not-yet-cached MIPs by id in
+        read-batch-size groups (CachedDataHelper.cacheCDMIPs +
+        JacsDataGetter.httpRetrieveCDMIPs, batched `id` field values)."""
+        if self.client is None:
+            return
+        missing = sorted({m for m in mip_ids if m and m not in self._mips})
+        for i in range(0, len(missing), self.read_batch_size):
+            self.cache_mips(self.client.retrieve_color_depth_mips_by_ids(
+                missing[i:i + self.read_batch_size]))
+
     def get_color_depth_mip(self, mip_id: str) -> Optional[ColorDepthMIP]:
         return self._mips.get(mip_id)
+
+    # dict-compatible accessors: the export enrichment overlay accepts
+    # either the offline fixture dict or this live helper
+    def get(self, mip_id: str) -> Optional[ColorDepthMIP]:
+        return self._mips.get(mip_id)
+
+    def prefetch(self, mip_ids: Sequence[str]) -> None:
+        self.cache_cdmips(mip_ids)
 
     def set_library_name_mapping(self, mapping: Dict[str, str]) -> None:
         self._library_names = dict(mapping)

@@ -52,14 +52,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         if u.path == "/data/colorDepthMIPsWithSamples":
-            lib = q.get("libraryName")
-            offset = int(q.get("offset", 0))
-            length = int(q.get("length", 10000))
-            data = EM_MIPS if lib == "flyem_hemibrain" else [LM_MIP]
-            page = data[offset:offset + length]
+            if "id" in q:  # id-set fetch (JacsDataGetter.httpRetrieveCDMIPs)
+                ids = set(q["id"].split(","))
+                page = [d for d in EM_MIPS + [LM_MIP] if d["id"] in ids]
+            else:
+                lib = q.get("libraryName")
+                offset = int(q.get("offset", 0))
+                length = int(q.get("length", 10000))
+                data = EM_MIPS if lib == "flyem_hemibrain" else [LM_MIP]
+                page = data[offset:offset + length]
             body = json.dumps(page).encode()
         elif u.path == "/data/colorDepthMIPsCount":
             body = b"5"
+        elif u.path == "/cdm_library":
+            body = json.dumps({"config": {
+                "flyem_hemibrain": {"name": "FlyEM_Hemibrain_v1.2.1"},
+                "flylight_splitgal4": {"name": "FlyLight Split-GAL4"},
+            }}).encode()
         else:
             self.send_response(404)
             self.end_headers()
@@ -151,3 +160,48 @@ def test_cli_jacs_import(jacs_server, tmp_path):
     assert len(docs) == 5
     assert docs[0]["publishedName"] == "1000"
     assert docs[0]["libraryName"] == "flyem_hemibrain"
+
+
+def test_live_cached_data_helper(jacs_server):
+    """LIVE CachedDataHelper: id-set fetch, read-batch-size batching,
+    fetch-once caching (CachedDataHelper.cacheCDMIPs +
+    JacsDataGetter.httpRetrieveCDMIPs)."""
+    client = JacsClient(jacs_server, authorization="Bearer t")
+    helper = CachedDataHelper(client, read_batch_size=2)
+    n_before = len(_Handler.seen_auth)
+    helper.prefetch(["em-0", "em-1", "em-2", "lm-1", "em-0"])
+    # 4 distinct ids at batch size 2 -> 2 requests
+    assert len(_Handler.seen_auth) - n_before == 2
+    assert helper.get("em-1").name == "body1"
+    assert helper.get("lm-1").sample.publishing_name == "R12A34"
+    # already cached: no further requests
+    n = len(_Handler.seen_auth)
+    helper.prefetch(["em-1", "lm-1"])
+    assert len(_Handler.seen_auth) == n
+    assert helper.get("nope") is None
+
+
+def test_library_name_mapping(jacs_server):
+    from colormipsearch_tpu.jacs.client import retrieve_library_name_mapping
+    m = retrieve_library_name_mapping(jacs_server)
+    assert m["flyem_hemibrain"] == "FlyEM_Hemibrain_v1.2.1"
+
+
+def test_export_live_jacs_enrichment(jacs_server, tmp_path):
+    """exportData --jacs-url enriches exported neurons from the live
+    service exactly like the offline fixture path."""
+    import argparse
+    from colormipsearch_tpu.cmd.exportdata_cmd import (
+        _load_jacs_mips_fixture, _prefetch_jacs_mips, neuron_metadata)
+    from colormipsearch_tpu.model import EMNeuronEntity
+
+    args = argparse.Namespace(jacs_mips_file=None, jacs_url=jacs_server,
+                              authorization=None, jacs_read_batch_size=10)
+    helper = _load_jacs_mips_fixture(args)
+    assert helper is not None
+    e = EMNeuronEntity(entity_id=5, mip_id="em-3",
+                       library_name="flyem_test")
+    _prefetch_jacs_mips(helper, [e])
+    meta = neuron_metadata(e, None, None, None, None, jacs_mips=helper)
+    assert meta.get("publishedName") == "1003"
+    assert meta.get("neuronType") == "KC"
