@@ -47,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pixel_pallas import (NV_PAD, TILE_H, TILE_W, DeferredScore,
                            _dev_ctx, _match_predicate, _unpack)
 
-# rows per launch (fixed compile shape; tails round up to a pow2 bucket)
-ROWS = int(os.environ.get("CMS_MM_ROWS", "1024"))
+# rows per launch (fixed compile shape; tails round up to a pow2
+# bucket). MEASURED (1024x512 bench): 1024 rows -> 56.5K pairs/s,
+# 2048 -> 67.4K (+19%: fewer inter-launch pipeline restarts).
+ROWS = int(os.environ.get("CMS_MM_ROWS", "2048"))
 # rows per chunk (one mask per chunk; per-mask survivor padding is
 # <= tb-1). MEASURED on the production-shape bench (1024x512): tb=16 ->
 # 45.7K pairs/s, tb=8 -> 55.0K, tb=4 -> 60.0K (padding rows 27% -> 13%
