@@ -272,10 +272,24 @@ class MultiMaskScorer:
     def _q_for(self, n_k, device):
         got = self._q_dev.get((n_k, device))
         if got is None:
-            if device is None:
-                got = jnp.asarray(self._q_host[n_k])
-            else:
-                got = jax.device_put(self._q_host[n_k], device)
+            host = self._q_host[n_k]
+            # a K=768 bucket with many masks is multi-GB; one device_put
+            # of that size risks nondeterministic RESOURCE_EXHAUSTED on
+            # the shared-HBM chip — place it in bounded row blocks via
+            # donated dynamic_update_slice (same rule as pack_raw_words)
+            rows_per_mask = n_k
+            blk_masks = max(1, (256 << 20) // max(
+                rows_per_mask * TILE_H * TILE_W * 4, 1))
+            blk = blk_masks * rows_per_mask
+            from .pixel_pallas import _dev_ctx, _place_block
+            with _dev_ctx(device):
+                if host.shape[0] <= blk:
+                    got = jnp.asarray(host)
+                else:
+                    got = jnp.zeros(host.shape, host.dtype)
+                    for i in range(0, host.shape[0], blk):
+                        got = _place_block(got, jnp.asarray(host[i:i + blk]),
+                                           i)
             self._q_dev[(n_k, device)] = got
         return got
 

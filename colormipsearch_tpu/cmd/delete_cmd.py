@@ -156,6 +156,13 @@ def run(args: argparse.Namespace) -> int:
         path = os.path.join(args.matchesDir, f"{mip_id}.json")
         matches = reader.read_matches_by_mask(
             DataSourceParam(mip_ids=[mip_id]))
+        # list_match_locations only filters by mip id; apply the full
+        # mask selector host-side (skip files whose inputImage fails it)
+        # so e.g. --masks-libraries never deletes other libraries'
+        # matches (DeleteCDMatchesCmd.java:52-92 mask selection)
+        if matches and matches[0].mask_image is not None \
+                and not mask_sel.matches_entity(matches[0].mask_image):
+            continue
         keep = [m for m in matches
                 if not _match_passes(args, m, target_sel, flt)]
         n_deleted += len(matches) - len(keep)
@@ -191,14 +198,17 @@ def _run_db(args: argparse.Namespace) -> int:
     mask_mips = sorted({e.mip_id for e in masks if e.mip_id}) if masks \
         else reader.list_match_locations([DataSourceParam()])
     n_deleted = 0
+    n_would = 0
     pending_ids = []
 
     def flush():
-        nonlocal n_deleted, pending_ids
+        nonlocal n_deleted, n_would, pending_ids
         if not pending_ids:
             return
         if args.dry_run:
-            LOG.info("dry run: would delete %d matches", len(pending_ids))
+            n_would += len(pending_ids)
+            LOG.info("dry run: would delete %d matches (batch)",
+                     len(pending_ids))
         else:
             n_deleted += store.delete_matches_by_ids(
                 pending_ids, archive=not args.no_archive)
@@ -215,9 +225,8 @@ def _run_db(args: argparse.Namespace) -> int:
                 if len(pending_ids) >= args.delete_batch_size:
                     flush()
     if args.dry_run:
-        n_would = len(pending_ids)
         flush()
-        LOG.info("dry run complete")
+        LOG.info("dry run complete: would delete %d matches total", n_would)
         return 0
     flush()
     LOG.info("deleted %d matches%s", n_deleted,

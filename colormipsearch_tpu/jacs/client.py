@@ -31,6 +31,7 @@ LOG = logging.getLogger(__name__)
 @dataclass
 class CDMIPSample:
     """LM sample metadata (cmd/jacsdata/CDMIPSample.java subset)."""
+    id: Optional[str] = None
     line: Optional[str] = None
     publishing_name: Optional[str] = None
     slide_code: Optional[str] = None
@@ -43,7 +44,8 @@ class CDMIPSample:
     def from_dict(cls, d: Optional[Dict]) -> Optional["CDMIPSample"]:
         if d is None:
             return None
-        return cls(line=d.get("line"),
+        return cls(id=d.get("_id"),
+                   line=d.get("line"),
                    publishing_name=d.get("publishingName"),
                    slide_code=d.get("slideCode"),
                    gender=d.get("gender"),
@@ -51,10 +53,15 @@ class CDMIPSample:
                    published_to_staging=d.get("publishedToStaging", True),
                    publishing_error=d.get("publishingError"))
 
+    def ref(self) -> str:
+        """Reference key (CDMIPSample.indexByRef: "Sample#" + id)."""
+        return f"Sample#{self.id}"
+
 
 @dataclass
 class CDMIPBody:
     """EM body metadata (cmd/jacsdata/CDMIPBody.java subset)."""
+    id: Optional[str] = None
     dataset_identifier: Optional[str] = None
     neuron_terms: Optional[List[str]] = None
     files: Dict[str, str] = field(default_factory=dict)
@@ -63,9 +70,14 @@ class CDMIPBody:
     def from_dict(cls, d: Optional[Dict]) -> Optional["CDMIPBody"]:
         if d is None:
             return None
-        return cls(dataset_identifier=d.get("datasetIdentifier"),
+        return cls(id=d.get("_id"),
+                   dataset_identifier=d.get("datasetIdentifier"),
                    neuron_terms=d.get("neuronTerms"),
                    files=d.get("files") or {})
+
+    def ref(self) -> str:
+        """Reference key (CDMIPBody.indexByRef: "EMBody#" + id)."""
+        return f"EMBody#{self.id}"
 
 
 @dataclass
@@ -228,6 +240,24 @@ class JacsClient:
                           id=",".join(mip_ids))
         return [ColorDepthMIP.from_dict(d) for d in (batch or [])]
 
+    def retrieve_lm_samples_by_refs(
+            self, sample_refs: Sequence[str]) -> List[CDMIPSample]:
+        """`/data/samples?refs=...` for a sample-ref set
+        (JacsDataGetter.httpRetrieveLMSamplesByRefs)."""
+        if not sample_refs:
+            return []
+        batch = self._get("/data/samples", refs=",".join(sample_refs))
+        return [CDMIPSample.from_dict(d) for d in (batch or [])]
+
+    def retrieve_em_bodies_by_refs(
+            self, em_body_refs: Sequence[str]) -> List[CDMIPBody]:
+        """`/emdata/emBodies?refs=...` for an EM-body-ref set
+        (JacsDataGetter.httpRetrieveEMBodiesByRefs)."""
+        if not em_body_refs:
+            return []
+        batch = self._get("/emdata/emBodies", refs=",".join(em_body_refs))
+        return [CDMIPBody.from_dict(d) for d in (batch or [])]
+
 
 def retrieve_library_name_mapping(config_url: str,
                                   retries: int = 3) -> Dict[str, str]:
@@ -262,13 +292,46 @@ class CachedDataHelper:
     def cache_cdmips(self, mip_ids: Sequence[str]) -> None:
         """Fetch-and-cache the not-yet-cached MIPs by id in
         read-batch-size groups (CachedDataHelper.cacheCDMIPs +
-        JacsDataGetter.httpRetrieveCDMIPs, batched `id` field values)."""
+        JacsDataGetter.httpRetrieveCDMIPs, batched `id` field values),
+        then hydrate MIPs that carry a sample/EM-body REF without the
+        embedded doc (JacsDataGetter.retrieveCDMIPs:126-151 via
+        needsEMBody/needsLMSample) — without this, enrichment fields
+        (publishedName, gender, neuronType, terms) would silently stay
+        None and export validation would drop those matches."""
         if self.client is None:
             return
         missing = sorted({m for m in mip_ids if m and m not in self._mips})
+        fetched: List[ColorDepthMIP] = []
         for i in range(0, len(missing), self.read_batch_size):
-            self.cache_mips(self.client.retrieve_color_depth_mips_by_ids(
+            fetched.extend(self.client.retrieve_color_depth_mips_by_ids(
                 missing[i:i + self.read_batch_size]))
+        self.cache_mips(fetched)
+        self._hydrate_refs(fetched)
+
+    def _hydrate_refs(self, mips: Sequence[ColorDepthMIP]) -> None:
+        """Attach LM samples / EM bodies fetched by ref. Mirrors the
+        reference's else-if priority: a MIP needing an EM body does not
+        also fetch its sample (JacsDataGetter.retrieveCDMIPs:129-136)."""
+        need_bodies = sorted({m.em_body_ref for m in mips
+                              if m.em_body_ref and m.em_body is None})
+        need_samples = sorted({m.sample_ref for m in mips
+                               if m.sample_ref and m.sample is None
+                               and not (m.em_body_ref and m.em_body is None)})
+        bodies: Dict[str, CDMIPBody] = {}
+        samples: Dict[str, CDMIPSample] = {}
+        for i in range(0, len(need_bodies), self.read_batch_size):
+            for b in self.client.retrieve_em_bodies_by_refs(
+                    need_bodies[i:i + self.read_batch_size]):
+                bodies[b.ref()] = b
+        for i in range(0, len(need_samples), self.read_batch_size):
+            for s in self.client.retrieve_lm_samples_by_refs(
+                    need_samples[i:i + self.read_batch_size]):
+                samples[s.ref()] = s
+        for m in mips:
+            if m.em_body_ref and m.em_body is None:
+                m.em_body = bodies.get(m.em_body_ref)
+            elif m.sample_ref and m.sample is None:
+                m.sample = samples.get(m.sample_ref)
 
     def get_color_depth_mip(self, mip_id: str) -> Optional[ColorDepthMIP]:
         return self._mips.get(mip_id)

@@ -126,3 +126,44 @@ def test_mongo_delete_by_ids_archives():
     assert store.delete_matches_by_ids(ids) == 4
     assert sorted(store.archived_match_ids()) == sorted(ids)
     assert store.delete_matches_by_ids([], archive=False) == 0
+
+
+@pytest.fixture()
+def seeded_json_dir(tmp_path):
+    from colormipsearch_tpu.dataio import JSONNeuronMatchesWriter
+    md = tmp_path / "matches"
+    matches = _matches()
+    JSONNeuronMatchesWriter(str(md)).write(matches)
+    return str(md), matches
+
+
+def test_json_delete_mask_selector_no_match(seeded_json_dir):
+    """ADVICE r2 high: the JSON path must apply mask-side selectors —
+    a selector matching zero masks deletes nothing (and dry-runs 0)."""
+    md, matches = seeded_json_dir
+    n_files = len(list(pathlib.Path(md).glob("*.json")))
+    rc = main(["deleteCDMatches", "-md", md,
+               "--masks-libraries", "NoSuchLibrary", "--dry-run"])
+    assert rc == 0
+    rc = main(["deleteCDMatches", "-md", md,
+               "--masks-libraries", "NoSuchLibrary"])
+    assert rc == 0
+    assert len(list(pathlib.Path(md).glob("*.json"))) == n_files
+
+
+def test_json_delete_mask_selector_filters(seeded_json_dir):
+    """The real library selector still deletes that library's unscored
+    matches (and only those files change)."""
+    md, matches = seeded_json_dir
+    lib = matches[0].mask_image.library_name
+    assert lib  # fixture sanity
+    rc = main(["deleteCDMatches", "-md", md, "--masks-libraries", lib])
+    assert rc == 0
+    from colormipsearch_tpu.dataio import (DataSourceParam,
+                                           JSONNeuronMatchesReader)
+    left = JSONNeuronMatchesReader(md).read_matches_by_mask(
+        DataSourceParam())
+    # default deletes only unscored matches of the selected masks
+    n_scored = sum(1 for m in matches if m.gradient_area_gap is not None)
+    assert len(left) == n_scored
+    assert all(m.gradient_area_gap is not None for m in left)

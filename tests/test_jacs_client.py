@@ -37,6 +37,24 @@ LM_MIP = {
                "releaseLabel": "Gen1 GAL4"},
 }
 
+# refs WITHOUT embedded docs: JACS returns these when the join is not
+# materialized; the client must hydrate via /data/samples /emdata/emBodies
+BARE_LM_MIP = {
+    "id": "lm-2", "name": "line2", "filepath": "/store/lm2.tif",
+    "alignmentSpace": "JRC2018_Unisex_20x_HR", "sampleRef": "Sample#88",
+    "anatomicalArea": "VNC", "objective": "20x",
+}
+BARE_EM_MIP = {
+    "id": "em-9", "name": "body9", "filepath": "/store/em9.tif",
+    "alignmentSpace": "JRC2018_Unisex_20x_HR", "bodyId": 1009,
+    "emBodyRef": "EMBody#99",
+}
+SAMPLE_DOCS = [{"_id": "88", "line": "GMR_Y", "publishingName": "R56B78",
+                "slideCode": "20210101_1_B2", "gender": "m",
+                "releaseLabel": "Gen1 MCFO"}]
+BODY_DOCS = [{"_id": "99", "datasetIdentifier": "hemibrain:v1.2.1",
+              "neuronTerms": ["PN"], "files": {"SkeletonSWC": "/swc/9.swc"}}]
+
 
 class _Handler(BaseHTTPRequestHandler):
     fail_first = 0   # class-level: number of 500s before succeeding
@@ -54,13 +72,23 @@ class _Handler(BaseHTTPRequestHandler):
         if u.path == "/data/colorDepthMIPsWithSamples":
             if "id" in q:  # id-set fetch (JacsDataGetter.httpRetrieveCDMIPs)
                 ids = set(q["id"].split(","))
-                page = [d for d in EM_MIPS + [LM_MIP] if d["id"] in ids]
+                page = [d for d in EM_MIPS + [LM_MIP, BARE_LM_MIP,
+                                              BARE_EM_MIP]
+                        if d["id"] in ids]
             else:
                 lib = q.get("libraryName")
                 offset = int(q.get("offset", 0))
                 length = int(q.get("length", 10000))
                 data = EM_MIPS if lib == "flyem_hemibrain" else [LM_MIP]
                 page = data[offset:offset + length]
+            body = json.dumps(page).encode()
+        elif u.path == "/data/samples":
+            refs = set(q.get("refs", "").split(","))
+            page = [d for d in SAMPLE_DOCS if f"Sample#{d['_id']}" in refs]
+            body = json.dumps(page).encode()
+        elif u.path == "/emdata/emBodies":
+            refs = set(q.get("refs", "").split(","))
+            page = [d for d in BODY_DOCS if f"EMBody#{d['_id']}" in refs]
             body = json.dumps(page).encode()
         elif u.path == "/data/colorDepthMIPsCount":
             body = b"5"
@@ -205,3 +233,23 @@ def test_export_live_jacs_enrichment(jacs_server, tmp_path):
     meta = neuron_metadata(e, None, None, None, None, jacs_mips=helper)
     assert meta.get("publishedName") == "1003"
     assert meta.get("neuronType") == "KC"
+
+
+def test_cached_helper_hydrates_bare_refs(jacs_server):
+    """ADVICE r2 medium: MIPs returned with sampleRef/emBodyRef but no
+    embedded docs must be hydrated via /data/samples and
+    /emdata/emBodies (JacsDataGetter.retrieveCDMIPs:126-151), so export
+    enrichment fields are not silently None."""
+    client = JacsClient(jacs_server)
+    helper = CachedDataHelper(client, read_batch_size=10)
+    helper.prefetch(["lm-2", "em-9", "lm-1"])
+    lm2 = helper.get("lm-2")
+    assert lm2.sample is not None
+    assert lm2.lm_line_name() == "R56B78"
+    assert lm2.lm_slide_code() == "20210101_1_B2"
+    em9 = helper.get("em-9")
+    assert em9.em_body is not None
+    assert em9.em_dataset() == "hemibrain:v1.2.1"
+    assert em9.em_terms() == ["PN"]
+    # embedded docs untouched
+    assert helper.get("lm-1").sample.publishing_name == "R12A34"
