@@ -333,6 +333,11 @@ def _bench_twophase():
         # dilated single bound, features never materialized in HBM
         bounds = screen.bounds_from_words(u_matrix, words)  # [B, Tp]
         sub("screen", bounds)
+        row_ranges = None
+        if mm is not None:
+            from colormipsearch_tpu.cds.multimask import \
+                row_ranges_from_words
+            row_ranges = row_ranges_from_words(words)
         del words
         stage["pack+screen"] = stage.get("pack+screen", 0.0) \
             + time.perf_counter() - tstart
@@ -343,7 +348,8 @@ def _bench_twophase():
         # outputs are tiny [ck, 2S] sums, so no launch-ahead bound is
         # needed; results drain later in one batched device_get
         if mm is not None:
-            deferred = mm.launch_deferred(packed, survivors)
+            deferred = mm.launch_deferred(packed, survivors,
+                                          row_ranges=row_ranges)
         else:
             deferred = [e.score_packed_deferred(packed,
                                                 survivors=survivors[i])

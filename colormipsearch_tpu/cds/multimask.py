@@ -86,8 +86,8 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
     nv = 2 * n_shifts
     assert nv <= NV_PAD
 
-    def kernel(gmids, lmids, blk, tgt, surv, coords, q_ref, t_hbm, tf_hbm,
-               out_ref, acc, win_d, win_m, sems):
+    def kernel(gmids, lmids, blk, tgt, surv, coords, k0s, kns, q_ref, t_hbm,
+               tf_hbm, out_ref, acc, win_d, win_m, sems):
         t = pl.program_id(0)
         k = pl.program_id(1)
         alive = blk[t] > 0
@@ -95,11 +95,17 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
         # are padded to 512 B per row in SMEM (measured: [2048, 3] int32
         # allocated 1.00 MB — the whole SMEM budget); 1-D packs tight
         lbase = lmids[t] * n_k
-        n_act = coords[lbase * 3 + 2]
+        # per-chunk tile sub-range [k0, k0+kn): tiles whose +-xyShift row
+        # window misses every chunk target's signal rows provably score 0
+        # and are skipped BEFORE their window DMA is issued (the window
+        # signal-skip only fires after paying the copy)
+        base = k0s[t]
+        n_act = kns[t]
 
         def window_copies(slot, kk):
-            ty = pl.multiple_of(coords[(lbase + kk) * 3], TILE_H)
-            tx = pl.multiple_of(coords[(lbase + kk) * 3 + 1], TILE_W)
+            ka = jnp.minimum(lbase + base + kk, g_bucket * n_k - 1)
+            ty = pl.multiple_of(coords[ka * 3], TILE_H)
+            tx = pl.multiple_of(coords[ka * 3 + 1], TILE_W)
             copies = []
             # per-row DMA at scalar-prefetched target indices: survivors
             # are scattered in the resident frame, so there is no
@@ -180,26 +186,28 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
                                     "g_bucket", "interpret"))
-def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, q_stack,
-                    t_padded, t_flipped, zt9: int, shifts_tuple, tb: int,
-                    n_k: int, g_bucket: int, interpret: bool):
+def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
+                    q_stack, t_padded, t_flipped, zt9: int, shifts_tuple,
+                    tb: int, n_k: int, g_bucket: int, interpret: bool):
     n_rows = tgt.shape[0]
     n_chunks = n_rows // tb
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(n_chunks, n_k),
         in_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda t, k, gm, lm, b, tg, sv, c:
-                         (gm[t] * n_k + k, 0, 0),
+                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
+                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
+                          0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
-                               lambda t, k, gm, lm, b, tg, sv, c: (t, 0, 0),
+                               lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
+                               (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
@@ -213,13 +221,14 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, q_stack,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, NV_PAD, TILE_W), jnp.int32),
         interpret=interpret,
-    )(gmids, lmids, blk, tgt, surv, coords_l, q_stack, t_padded, t_flipped)
+    )(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns, q_stack, t_padded,
+      t_flipped)
     return lane_sums.sum(axis=2)[:, :nv]  # [n_rows, nv]
 
 
 class _Launch:
     __slots__ = ("gmids", "lmids", "blk", "tgt", "surv", "coords_l",
-                 "spans")
+                 "k0s", "kns", "spans")
 
     def __init__(self, n_rows, tb, g_bucket, n_k):
         nc = n_rows // tb
@@ -231,6 +240,10 @@ class _Launch:
         # flat [g*K*3] (row, col, n_act) triples — see kernel SMEM note
         self.coords_l = np.zeros((g_bucket * n_k, 3), np.int32)
         self.coords_l[:, 2] = 1  # dead slots: n_act >= 1 (never executed)
+        # per-chunk tile sub-range (row-overlap restriction); dead chunks
+        # keep kn=1 (never executed: blk=0 gates the body)
+        self.k0s = np.zeros(nc, np.int32)
+        self.kns = np.ones(nc, np.int32)
         self.spans = []  # (engine_pos, row0, dest_idx np[n_real])
 
 
@@ -294,16 +307,39 @@ class MultiMaskScorer:
         return got
 
     def _build_launches(self, n_k: int, survivors: np.ndarray,
-                        idxs: List[int]) -> List[_Launch]:
+                        idxs: List[int],
+                        row_ranges: Optional[np.ndarray] = None
+                        ) -> List[_Launch]:
         g_bucket = _g_bucket(n_k)
         tb = TB
         max_chunks = ROWS // tb
-        # chunk list: (engine_pos, dest target indices)
+        # max |dy| the variant slices reach: a tile's sampled target rows
+        # are [c0 - s, c0 + TILE_H + s) for window-origin row c0
+        s = max((abs(dy) for _, dy in self.shifts), default=0)
+        # chunk list: (engine_pos, dest target indices, k0, kn)
         chunks = []
         for pos in idxs:
             sidx = np.nonzero(survivors[pos])[0]
+            n_act = self.engines[pos].tiles.n_active
+            coords0 = self.engines[pos].tiles.coords[:max(n_act, 1), 0]
+            if row_ranges is not None and len(sidx) > 1:
+                # sort survivors by signal row start so tb-chunks stay
+                # row-coherent (the chunk range is the union of its
+                # targets' ranges)
+                sidx = sidx[np.argsort(row_ranges[sidx, 0], kind="stable")]
             for c0 in range(0, len(sidx), tb):
-                chunks.append((pos, sidx[c0:c0 + tb]))
+                dest = sidx[c0:c0 + tb]
+                k0, kn = 0, max(n_act, 1)
+                if row_ranges is not None:
+                    tr0 = int(row_ranges[dest, 0].min())
+                    tr1 = int(row_ranges[dest, 1].max())
+                    # keep tiles with c0 in [tr0 - TILE_H - s + 1, tr1 + s]
+                    lo = int(np.searchsorted(coords0,
+                                             tr0 - TILE_H - s + 1, "left"))
+                    hi = int(np.searchsorted(coords0, tr1 + s, "right"))
+                    k0 = min(lo, max(n_act - 1, 0))
+                    kn = max(hi - lo, 1)
+                chunks.append((pos, dest, k0, kn))
         launches = []
         i = 0
         while i < len(chunks):
@@ -320,11 +356,13 @@ class MultiMaskScorer:
             n_rows = _pow2_at_least((j - i) * tb, tb) \
                 if (j - i) * tb < ROWS else ROWS
             la = _Launch(n_rows, tb, g_bucket, n_k)
-            for ci, (pos, dest) in enumerate(chunks[i:j]):
+            for ci, (pos, dest, k0, kn) in enumerate(chunks[i:j]):
                 lm = masks_here.index(pos)
                 la.gmids[ci] = self._gpos[pos]
                 la.lmids[ci] = lm
                 la.blk[ci] = 1
+                la.k0s[ci] = k0
+                la.kns[ci] = kn
                 r0 = ci * tb
                 n_real = len(dest)
                 la.tgt[r0:r0 + n_real] = dest
@@ -340,24 +378,34 @@ class MultiMaskScorer:
         return launches
 
     def launch_deferred(self, packed, survivors: np.ndarray,
-                        device=None) -> List[DeferredScore]:
+                        device=None,
+                        row_ranges: Optional[np.ndarray] = None
+                        ) -> List[DeferredScore]:
         """Queue the exact sweep for ALL masks over one packed target
         block; returns one DeferredScore per engine (drain with
         pixel_pallas.drain_deferred — shared launch buffers are fetched
-        once)."""
+        once).
+
+        row_ranges: optional int32 [T, 2] (first, last) signal rows per
+        target (see row_ranges_from_words). When given, each chunk's
+        grid is restricted to the mask tiles whose sampled row window
+        intersects the chunk targets' signal rows — bit-identical
+        scores (skipped tiles provably contribute 0), fewer window DMAs
+        and grid steps for spatially-localized targets."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
         surv_np = np.asarray(survivors).astype(np.int32)
         pendings = [[] for _ in self.engines]
         for n_k, idxs in self.buckets.items():
             q_stack = self._q_for(n_k, device)
-            for la in self._build_launches(n_k, surv_np, idxs):
+            for la in self._build_launches(n_k, surv_np, idxs, row_ranges):
                 with _dev_ctx(device):
                     out = _multimask_call(
                         jnp.asarray(la.gmids), jnp.asarray(la.lmids),
                         jnp.asarray(la.blk), jnp.asarray(la.tgt),
                         jnp.asarray(la.surv),
                         jnp.asarray(la.coords_l.reshape(-1)),
+                        jnp.asarray(la.k0s), jnp.asarray(la.kns),
                         q_stack, t_padded, t_flipped, self.zt9,
                         self.shifts, TB, n_k, _g_bucket(n_k),
                         self.interpret)
@@ -365,3 +413,21 @@ class MultiMaskScorer:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])
                 for i, e in enumerate(self.engines)]
+
+
+@jax.jit
+def _sel_any_row(words):
+    return ((words >> 19) & 1).max(axis=2)  # [T, H]
+
+
+def row_ranges_from_words(words) -> np.ndarray:
+    """int32 [T, 2] (first, last) above-threshold signal row per packed
+    target frame; (0, -1) for empty targets. One tiny device reduction +
+    one [T, H] bool pull — negligible next to the pack itself."""
+    rows = np.asarray(_sel_any_row(words)) > 0  # [T, H] host
+    tsz, h = rows.shape
+    any_r = rows.any(axis=1)
+    first = np.where(any_r, rows.argmax(axis=1), 0).astype(np.int32)
+    last = np.where(any_r, h - 1 - rows[:, ::-1].argmax(axis=1),
+                    -1).astype(np.int32)
+    return np.stack([first, last], axis=1)

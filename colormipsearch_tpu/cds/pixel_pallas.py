@@ -191,9 +191,18 @@ def _match_unpacked_fast(q, t, zt9: int):
     return ((qsel & tsel) > 0) & (same_ok | (adj & cond & gap_ok))
 
 
+# PROFILING ONLY (scripts/profile_exact_phase.py): replaces the hue-gap
+# predicate with the bare selection AND, to attribute exact-phase cost
+# between DMA/loads/accumulate and predicate compute. Scores are WRONG
+# with this on; toggled via module attribute + jax.clear_caches().
+_NULL_PRED = __import__("os").environ.get("CMS_NULL_PREDICATE") == "1"
+
+
 def _match_predicate(q, t, zt9: int):
     """zt9-gated dispatch between the packed-constant fast predicate and
     the general staged form (identical results either way)."""
+    if _NULL_PRED:
+        return (q[3] & t[3]) > 0
     if zt9 <= _PACK_ZT9_MAX:
         return _match_unpacked_fast(q, t, zt9)
     return _match_unpacked(q, t, zt9)

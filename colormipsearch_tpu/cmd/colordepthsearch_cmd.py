@@ -39,13 +39,41 @@ def add_parser(subparsers) -> None:
     add_common_args(p)
     add_cds_params(p)
     p.add_argument("-m", "--masks", nargs="+", required=True,
-                   help="mask MIPs JSON file(s), 'path:offset:length'")
+                   help="mask MIPs: JSON file(s) 'path:offset:length', or "
+                        "with --mips-storage db, library selector(s) "
+                        "'library:offset:length'")
     p.add_argument("-i", "--targets", "--images", nargs="+", required=True,
-                   help="target MIPs JSON file(s), 'path:offset:length'")
+                   help="target MIPs: JSON file(s) or (--mips-storage db) "
+                        "library selector(s), 'name:offset:length'")
+    p.add_argument("--mips-storage", choices=("file", "db"), default="file",
+                   help="where mask/target MIP entities come from "
+                        "(ColorDepthSearchCmd.java --mips-storage; the "
+                        "reference defaults to DB — 'db' reads entities "
+                        "from the --db store by library + selectors via "
+                        "DBCDMIPsReader.java:30-60)")
     p.add_argument("--masks-index", type=int, default=0)
     p.add_argument("--masks-length", type=int, default=-1)
     p.add_argument("--targets-index", type=int, default=0)
     p.add_argument("--targets-length", type=int, default=-1)
+    # neuron selectors, applied in-store for db reads and host-side for
+    # file reads (ColorDepthSearchCmd.java:93-155 selector args)
+    p.add_argument("-as", "--alignment-space", default=None)
+    p.add_argument("--masks-tags", "--mask-tags", dest="masks_tags",
+                   nargs="*", default=[])
+    p.add_argument("--masks-excluded-tags", "--mask-excluded-tags",
+                   dest="masks_excluded_tags", nargs="*", default=[])
+    p.add_argument("--masks-terms", nargs="*", default=[])
+    p.add_argument("--excluded-masks-terms", nargs="*", default=[])
+    p.add_argument("--masks-datasets", nargs="*", default=[])
+    p.add_argument("--masks-published-names", nargs="*", default=[])
+    p.add_argument("--targets-tags", "--target-tags", dest="targets_tags",
+                   nargs="*", default=[])
+    p.add_argument("--targets-excluded-tags", "--target-excluded-tags",
+                   dest="targets_excluded_tags", nargs="*", default=[])
+    p.add_argument("--targets-terms", nargs="*", default=[])
+    p.add_argument("--excluded-targets-terms", nargs="*", default=[])
+    p.add_argument("--targets-datasets", nargs="*", default=[])
+    p.add_argument("--targets-published-names", nargs="*", default=[])
     p.add_argument("--perMaskSubdir", default="masks")
     p.add_argument("--perTargetSubdir", default=None,
                    help="also write per-target grouped results")
@@ -128,12 +156,53 @@ def _filter_by_processing_tags(entities, include_specs, exclude_specs):
     return kept
 
 
-def _read_mips(files: List[str], index: int, length: int):
+def _side_selector(args, side: str) -> DataSourceParam:
+    """Mask/target neuron selector from the CLI args
+    (ColorDepthSearchCmd.readMIPs, :413-448)."""
+    g = lambda name: getattr(args, f"{side}_{name}", None) or []
+    return DataSourceParam(
+        alignment_space=getattr(args, "alignment_space", None),
+        names=list(g("published_names")),
+        datasets=set(g("datasets")),
+        tags=set(g("tags")),
+        excluded_tags=set(g("excluded_tags")),
+        annotations=set(g("terms")),
+        excluded_annotations=set(getattr(
+            args, f"excluded_{side}_terms", None) or []))
+
+
+def _read_mips(args, files: List[str], index: int, length: int, side: str):
+    """Read one side's MIP entities: JSON file lists, or store libraries
+    when --mips-storage db (DBCDMIPsReader.java:30-60). Both paths apply
+    the side's neuron selectors and keep only entities with an input CDM
+    (ColorDepthSearchCmd.readMIPs:438-439)."""
+    sel = _side_selector(args, side)
     entities = []
-    for f in files:
-        la = ListArg.parse(f)
-        param = DataSourceParam(offset=la.offset, size=la.length)
-        entities.extend(JSONCDMIPsReader(la.input).read_mips(param))
+    if getattr(args, "mips_storage", "file") == "db":
+        if not args.db:
+            raise SystemExit("--mips-storage db requires --db")
+        from ..dataio.db import DBCDMIPsReader
+        from .backends import get_store
+        reader = DBCDMIPsReader(get_store(args.db))
+        for f in files:
+            la = ListArg.parse(f)
+            param = DataSourceParam(
+                alignment_space=sel.alignment_space,
+                libraries=[la.input], names=sel.names,
+                datasets=sel.datasets, tags=sel.tags,
+                excluded_tags=sel.excluded_tags,
+                annotations=sel.annotations,
+                excluded_annotations=sel.excluded_annotations,
+                offset=la.offset, size=la.length)
+            entities.extend(reader.read_mips(param))
+    else:
+        for f in files:
+            la = ListArg.parse(f)
+            param = DataSourceParam(offset=la.offset, size=la.length)
+            mips = JSONCDMIPsReader(la.input).read_mips(param)
+            entities.extend(e for e in mips if sel.matches_entity(e))
+    entities = [e for e in entities
+                if ComputeFileType.InputColorDepthImage in e.compute_files]
     param = DataSourceParam(offset=index, size=length)
     return param.apply_slice(entities)
 
@@ -194,8 +263,10 @@ def run(args: argparse.Namespace) -> int:
         multi = maybe_init_distributed()
 
     t_start = time.time()
-    masks = _read_mips(args.masks, args.masks_index, args.masks_length)
-    targets = _read_mips(args.targets, args.targets_index, args.targets_length)
+    masks = _read_mips(args, args.masks, args.masks_index,
+                       args.masks_length, "masks")
+    targets = _read_mips(args, args.targets, args.targets_index,
+                         args.targets_length, "targets")
     masks = _filter_by_processing_tags(
         masks, getattr(args, "masks_processing_tags", []),
         getattr(args, "excluded_masks_processing_tags", []))
@@ -502,6 +573,15 @@ def run(args: argparse.Namespace) -> int:
             n_groups = writer.write(all_matches[flushed:]) if flushed < len(all_matches) else 0
         else:
             n_groups = writer.write(all_matches)
+    if args.db:
+        # stamp EVERY searched mip with the run's processing tag in the
+        # store — matched or not — so restartable selection by
+        # "lacks tag X" sees the whole processed block
+        # (ColorDepthSearchCmd.java:346-358)
+        from ..dataio.db import DBCDMIPsWriter
+        from .backends import get_store
+        DBCDMIPsWriter(get_store(args.db)).add_processing_tags(
+            masks + targets, ProcessingType.ColorDepthSearch, {run_tag})
     LOG.info("stage times: %s",
              {k: round(v, 2) for k, v in stage_totals.items()})
     LOG.info("found %d matches (%d masks) in %.1fs",

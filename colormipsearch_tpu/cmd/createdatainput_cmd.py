@@ -62,6 +62,12 @@ def add_parser(subparsers) -> None:
     p.add_argument("--jacs-url", default=None)
     p.add_argument("--authorization", default=None)
     p.add_argument("--output-filename", default=None)
+    p.add_argument("--db", default=None,
+                   help="write imported neurons into this store (SQLite "
+                        "path or mongodb:// URI) via the checked upsert "
+                        "writer instead of a JSON file — the reference's "
+                        "production flow (CreateCDSDataInputCmd.java:"
+                        "237-260 via DBCheckedCDMIPsWriter)")
     p.add_argument("--tag", default=None,
                    help="stamp every imported entity with this tag "
                         "(CreateCDSDataInputCmd.java:626)")
@@ -235,6 +241,22 @@ def run(args: argparse.Namespace) -> int:
                     d.tags.add(args.tag)
                 entities.append(d)
 
+    _write_entities(args, entities)
+    return 0
+
+
+def _write_entities(args, entities) -> None:
+    """Persist imported neurons: checked store upsert with --db
+    (DBCheckedCDMIPsWriter), JSON file otherwise."""
+    if getattr(args, "db", None):
+        from ..dataio.db import DBCDMIPsWriter
+        from .backends import get_store
+        w = DBCDMIPsWriter(get_store(args.db))
+        w.open()
+        w.write(entities)
+        w.close()
+        LOG.info("wrote %d entities to store %s", len(entities), args.db)
+        return
     out = args.output_filename or os.path.join(
         args.output_dir or ".", f"{args.library.replace(' ', '_')}.json")
     w = JSONCDMIPsWriter(out)
@@ -242,7 +264,6 @@ def run(args: argparse.Namespace) -> int:
     w.write(entities)
     w.close()
     LOG.info("wrote %d entities to %s", len(entities), out)
-    return 0
 
 
 def _run_jacs_import(args) -> int:
@@ -278,11 +299,5 @@ def _run_jacs_import(args) -> int:
             e.tags.add(args.tag)
         e.entity_id = idgen.generate_id()
         entities.append(e)
-    out = args.output_filename or os.path.join(
-        args.output_dir or ".", f"{args.library.replace(' ', '_')}.json")
-    w = JSONCDMIPsWriter(out)
-    w.open()
-    w.write(entities)
-    w.close()
-    LOG.info("imported %d entities from JACS to %s", len(entities), out)
+    _write_entities(args, entities)
     return 0

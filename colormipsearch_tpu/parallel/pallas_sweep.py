@@ -114,19 +114,24 @@ class TwoPhaseSweep:
             words = self.engines[0].pack_raw_words(shard, device=dev)
             packed = self.engines[0].pad_from_words(words, device=dev)
             survivors = None
+            row_ranges = None
             if self.screen is not None:
                 bounds = self.screen.bounds_from_words(
                     self._u_for(dev), words, device=dev)  # [B, ln]
                 survivors = (bounds > self.thresholds[:, None]).astype(
                     np.int32)
                 n_screened += int((survivors == 0).sum())
+            if self._mm is not None:
+                from ..cds.multimask import row_ranges_from_words
+                row_ranges = row_ranges_from_words(words)
             del words
             stage["pack+screen"] = stage.get("pack+screen", 0.0) \
                 + time.perf_counter() - t0
             t0 = time.perf_counter()
             if self._mm is not None and survivors is not None:
                 defs = self._mm.launch_deferred(packed, survivors,
-                                                device=dev)
+                                                device=dev,
+                                                row_ranges=row_ranges)
             else:
                 defs = [
                     eng.score_packed_deferred(

@@ -48,13 +48,22 @@ for ((pid = 0; pid < PROCESS_COUNT; pid++)); do
   run_block "$pid"
 done
 
-# gradient re-ranking: top 300 lines per mask (cdsparams.sh:50-63)
-echo "=== gradientScores"
-python -m colormipsearch_tpu gradientScores --db "$DB" \
-  --maskThreshold 20 --mirrorMask \
-  --nBestLines "${CMS_TOP_LINES:-300}" \
-  --array-cache "$WORKDIR/array-cache" \
-  --computeZGapOnTheFly
+# gradient re-ranking: top 300 lines per mask (cdsparams.sh:50-63),
+# sharded over CMS_GA_PROCS mask-mipId grid blocks exactly like the
+# reference's GA job arrays (submitGAJob.sh:50-60). Blocks are
+# deterministic and restartable; per-mask normalization is block-local
+# by construction (each mask's matches live in one block).
+GA_PROCS=${CMS_GA_PROCS:-$PROCESS_COUNT}
+echo "=== gradientScores ($GA_PROCS blocks)"
+for ((gid = 0; gid < GA_PROCS; gid++)); do
+  python -m colormipsearch_tpu gradientScores --db "$DB" \
+    --maskThreshold 20 --mirrorMask \
+    --nBestLines "${CMS_TOP_LINES:-300}" \
+    --array-cache "$WORKDIR/array-cache" \
+    --process-id "$gid" --process-count "$GA_PROCS" \
+    --computeZGapOnTheFly &
+done
+wait
 
 echo "=== normalizeGradientScores"
 python -m colormipsearch_tpu normalizeGradientScores --db "$DB"

@@ -143,3 +143,56 @@ def test_multimask_g_bucket_rollover(library, monkeypatch):
     for (gs, _, gm), (ws, _, wm) in zip(got, want):
         np.testing.assert_array_equal(gs, ws)
         np.testing.assert_array_equal(gm, wm)
+
+
+def test_multimask_row_range_restriction(library):
+    """Per-chunk tile row-range restriction (r3): scores must be
+    bit-identical with and without row_ranges, on a spatially-banded
+    library where ranges actually drop most tiles."""
+    from colormipsearch_tpu.cds.multimask import (MultiMaskScorer,
+                                                  row_ranges_from_words)
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    # band the targets: each keeps one 12-row stripe of signal
+    banded = np.zeros_like(targets)
+    h = targets.shape[1]
+    for i in range(targets.shape[0]):
+        b0 = (7 * i) % (h - 12)
+        banded[i, b0:b0 + 12] = targets[i, b0:b0 + 12]
+
+    engines = _engines(masks)
+    words = engines[0].pack_raw_words(banded)
+    packed = engines[0].pad_from_words(words)
+    rr = row_ranges_from_words(words)
+    # sanity: ranges are the stripes (within threshold effects)
+    assert (rr[:, 1] - rr[:, 0] <= 12).all()
+    surv = _survivor_matrix(engines, banded)
+
+    mm = MultiMaskScorer(engines, interpret=True)
+    got = drain_deferred(mm.launch_deferred(packed, surv, row_ranges=rr))
+    want = drain_deferred(mm.launch_deferred(packed, surv))
+    for (gs, gr, gm), (ws, wr, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+    # and vs the per-mask reference path
+    want2 = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, _, gm), (ws, _, wm) in zip(got, want2):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+
+
+def test_row_ranges_from_words(library):
+    from colormipsearch_tpu.cds.multimask import row_ranges_from_words
+    masks, targets = library
+    engines = _engines(masks[:1])
+    t = np.zeros_like(targets[:3])
+    t[0, 10:14] = 200   # rows 10..13
+    t[2, 47] = 200      # last row only
+    words = engines[0].pack_raw_words(t)
+    rr = row_ranges_from_words(words)
+    assert list(rr[0]) == [10, 13]
+    assert list(rr[1]) == [0, -1]   # empty
+    assert list(rr[2]) == [47, 47]
