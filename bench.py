@@ -222,15 +222,159 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _bench_gradients_production():
+    """Production-mode gradientScores number for the default bench
+    detail (VERDICT r2 #3): PRECOMPUTED zgap variant files
+    (submitGAJob.sh:7-8 — production never dilates on the fly), warm
+    plane cache across masks, plane build fanned over --planes-threads.
+    Reports the warm END-TO-END match rate and the measured cold
+    per-distinct-target host cost (the <1h budget's two inputs)."""
+    import argparse
+    import shutil
+    import tempfile
+    import numpy as np
+    from PIL import Image as PILImage
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.imageproc.filters import max_filter_rgb
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    from colormipsearch_tpu.cmd.gradientscores_cmd import _score_batch
+    from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
+                                          EMNeuronEntity, FileData,
+                                          LMNeuronEntity)
+    from colormipsearch_tpu.mips import MIPsCache
+
+    n_targets = int(os.environ.get("CMS_BENCH_GRAD_DISTINCT", "24"))
+    n_masks = int(os.environ.get("CMS_BENCH_GRAD_MASKS", "4"))
+    lm_names = [n for n in sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
+                if os.path.exists(os.path.join(
+                    _FIXTURES, "grad", n.rsplit(".", 1)[0] + ".png"))]
+    tmp = tempfile.mkdtemp(prefix="cms_grad_prod_")
+    try:
+        # distinct targets with PRECOMPUTED zgap files (10px dilation,
+        # done once here exactly as the offline variant pipeline does)
+        targets = []
+        zgap_cache = {}
+        for i in range(n_targets):
+            src = lm_names[i % len(lm_names)]
+            stem = src.rsplit(".", 1)[0]
+            cdm = os.path.join(tmp, f"t{i}.tif")
+            grad = os.path.join(tmp, f"t{i}_grad.png")
+            zgap = os.path.join(tmp, f"t{i}_zgap.tif")
+            shutil.copy(os.path.join(_FIXTURES, "lms", src), cdm)
+            shutil.copy(os.path.join(_FIXTURES, "grad", stem + ".png"), grad)
+            if src not in zgap_cache:
+                px = load_image(cdm).pixels
+                if px.ndim == 2:
+                    px = np.repeat(px[..., None], 3, axis=2)
+                zgap_cache[src] = max_filter_rgb(
+                    np.ascontiguousarray(px[..., :3], dtype=np.uint8), 10)
+            PILImage.fromarray(zgap_cache[src]).save(zgap)
+            lm = LMNeuronEntity(entity_id=100 + i, mip_id=f"lm-{i}")
+            lm.compute_files[ComputeFileType.InputColorDepthImage] = \
+                FileData.from_string(cdm)
+            lm.compute_files[ComputeFileType.GradientImage] = \
+                FileData.from_string(grad)
+            lm.compute_files[ComputeFileType.ZGapImage] = \
+                FileData.from_string(zgap)
+            targets.append(lm)
+
+        query = load_image(os.path.join(_FIXTURES, "ems",
+                                        "12191_JRC2018U.tif"))
+        excluded = label_regions_mask(query.height, query.width)
+        qplanes = build_query_shape_planes(query, excluded)
+        args = argparse.Namespace(
+            maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=False,
+            targetsPerBatch=16, queryROIMaskName=None, planes_threads=0)
+        cache = MIPsCache(4096)
+        planes_cache = {}
+
+        def run_mask(mi):
+            em = EMNeuronEntity(entity_id=1000 + mi, mip_id=f"em-{mi}")
+            matches = []
+            for t in targets:
+                m = CDMatchEntity()
+                m.mask_image, m.matched_image = em, t
+                matches.append(m)
+            scored = []
+            t0 = time.perf_counter()
+            for p0 in range(0, len(matches), args.targetsPerBatch):
+                scored.extend(_score_batch(
+                    matches[p0:p0 + args.targetsPerBatch], qplanes, cache,
+                    args, excluded, planes_cache))
+            return len(scored), time.perf_counter() - t0
+
+        # mask 0: cold pass (plane builds, thread-pooled) -> host cost
+        n0, cold = run_mask(0)
+        assert n0 == n_targets
+        per_target_host = cold / n_targets
+        # masks 1..n: warm passes (cache hits) -> end-to-end match rate
+        warm_best = 0.0
+        for mi in range(1, n_masks):
+            n, dt = run_mask(mi)
+            warm_best = max(warm_best, n / dt)
+        _log(f"[grad-prod] cold {per_target_host*1e3:.0f} ms/target "
+             f"(precomputed zgap, {os.cpu_count()} threads); warm "
+             f"{warm_best:,.0f} matches/s")
+        return {"gradient_matches_per_s": round(warm_best, 1),
+                "gradient_cold_s_per_target": round(per_target_host, 4)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_twophase():
     """Headline config: the production two-phase exact search.
 
-    Library diversity is synthesized by rolling the reference fixtures
-    to distinct spatial offsets (a neuron library's masks/targets mostly
-    occupy disjoint regions); every surviving pair is scored EXACTLY by
-    the active-tile kernel, and the prescreen's bound guarantees the
-    screened-out pairs score below the production keep threshold
-    (pctPositivePixels 1%), so results equal the exhaustive sweep."""
+    TWO library variants are measured (VERDICT r2 #6):
+    - "adversarial" (the headline, conservative): rolled copies of the
+      same 4 neurons as banded targets — coarse tile-space overlap with
+      every mask, the worst case for the prescreen bound.
+    - "realistic": masks AND targets are spatially-localized regional
+      crops (different neurons occupy different brain regions, the
+      production premise) — its survivor rate and rate are reported in
+      the JSON detail next to the adversarial ones.
+    Every surviving pair is scored EXACTLY by the active-tile kernel,
+    and the prescreen's bound guarantees the screened-out pairs score
+    below the production keep threshold (pctPositivePixels 1%), so
+    results equal the exhaustive sweep."""
+    B = int(os.environ.get("CMS_BENCH_B", "1024"))
+    T = int(os.environ.get("CMS_BENCH_T", "512"))
+    rounds = int(os.environ.get("CMS_BENCH_ROUNDS", "5"))
+    best, best_stage, true_rate = _run_twophase_library(
+        "adversarial", B, T, rounds)
+    detail = {k: (round(v, 3) if isinstance(v, float) else v)
+              for k, v in best_stage.items()}
+    detail["true_match_rate"] = round(true_rate, 5)
+    if os.environ.get("CMS_BENCH_REALISTIC", "1") == "1":
+        r_best, r_stage, r_true = _run_twophase_library(
+            "realistic", B, T, max(2, rounds - 2))
+        detail["realistic"] = {
+            "rate_pairs_per_s": round(r_best, 1),
+            "survivor_rate": round(r_stage["survivor_rate"], 5),
+            "true_match_rate": round(r_true, 5),
+        }
+    if os.environ.get("CMS_BENCH_GRAD_DETAIL", "1") == "1":
+        try:
+            detail.update(_bench_gradients_production())
+        except Exception as e:  # keep the headline robust
+            _log(f"[grad-prod] skipped: {e}")
+    return {
+        "metric": (f"two-phase exact CDS pairs/s/chip ({B} masks x {T} "
+                   "targets, prod config xyShift2+mirror+1% cut, MXU "
+                   "prescreen + multi-mask exact kernel on compacted "
+                   "survivors)"),
+        "value": round(best, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
+        # NB stage walls overlap the async device stream: "pack+screen"
+        # includes device time serialized behind the queued exact
+        # kernels, so it is NOT pure host pack cost (see ROADMAP)
+        "detail": detail,
+    }
+
+
+def _run_twophase_library(kind: str, B: int, T: int, rounds: int):
+    """Build one library variant and measure the two-phase sweep on it.
+    Returns (best pairs/s, best stage dict, true match rate)."""
     import jax
     import numpy as np
     from colormipsearch_tpu.imageproc import (Image, ImageKind, load_image,
@@ -239,12 +383,6 @@ def _bench_twophase():
     from colormipsearch_tpu.cds.prescreen import PairPrescreen
     from colormipsearch_tpu.cds.pixel_kernel import z_tolerance_to_zt9
 
-    # production-shape default: 1K-mask blocks amortize the per-TARGET
-    # pack/screen cost exactly as deployment does (the per-mask exact
-    # phase is the asymptotic cost; measured 15.2K pairs/s at 256 masks
-    # -> 30.6K at 1024 with the same survivors)
-    B = int(os.environ.get("CMS_BENCH_B", "1024"))
-    T = int(os.environ.get("CMS_BENCH_T", "512"))
     interpret = os.environ.get("CMS_BENCH_INTERPRET") == "1"  # CPU smoke
     ems = sorted(os.listdir(os.path.join(_FIXTURES, "ems")))
     lms = sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
@@ -262,31 +400,35 @@ def _bench_twophase():
             return px
         return np.roll(px, ((37 * i) % h, (151 * i) % w), axis=(0, 1))
 
-    def band(px, i):
-        # rolled copies of the SAME 4 neurons overlap every mask in
-        # coarse tile space, which a tile-granular bound cannot separate;
-        # real libraries hold DIFFERENT neurons in different brain
-        # regions. Model that by keeping one row band per rolled target
-        # (index 0 stays whole so the golden pairs survive).
+    def band(px, i, bh=160, step=53):
+        # keep one row band per rolled image (index 0 stays whole so the
+        # golden pairs survive)
         if i == 0:
             return px
-        bh = 160
-        b0 = (53 * i) % (h - bh)
+        b0 = (step * i) % (h - bh)
         out = np.zeros_like(px)
         out[b0:b0 + bh] = px[b0:b0 + bh]
         return out
 
+    def mask_px(i):
+        px = roll(em_px[i % len(em_px)], i // len(em_px))
+        if kind == "realistic":
+            # regional masks: a neuron occupies one part of the brain
+            px = band(px, i, bh=224, step=71)
+        return px
+
+    def target_px(i):
+        return band(roll(lm_px[i % len(lm_px)], i // len(lm_px)), i)
+
     t0 = time.perf_counter()
     engines = []
     for i in range(B):
-        px = roll(em_px[i % len(em_px)], i // len(em_px))
-        img = Image(kind=ImageKind.RGB, pixels=px)
+        img = Image(kind=ImageKind.RGB, pixels=mask_px(i))
         engines.append(ActiveTilePixelEngine(img, 20, True, 20, 1.0, 2,
                                              excluded, interpret=interpret))
-    _log(f"[twophase] built {B} mask engines in "
+    _log(f"[twophase:{kind}] built {B} mask engines in "
          f"{time.perf_counter() - t0:.1f}s")
-    targets = np.stack([band(roll(lm_px[i % len(lm_px)], i // len(lm_px)), i)
-                        for i in range(T)])
+    targets = np.stack([target_px(i) for i in range(T)])
 
     screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2, h, w)
     import jax.numpy as jnp
@@ -386,14 +528,15 @@ def _bench_twophase():
     # threshold (survivor_rate - true_rate = the screen's slack)
     n_true = sum(int((s > thr[i % B]).sum())
                  for i, (s, _, _) in enumerate(results))
-    _log(f"[twophase] true match rate "
-         f"{n_true / (B * T):.3%} vs survivors {stage['survivor_rate']:.3%}")
+    true_rate = n_true / (B * T)
+    _log(f"[twophase:{kind}] true match rate "
+         f"{true_rate:.3%} vs survivors {stage['survivor_rate']:.3%}")
     best = 0.0
     best_stage = stage
     # the shared tunneled chip's free capacity FLUCTUATES 2-3x between
     # rounds; take best-of-N so the recorded number reflects the
     # pipeline, not a co-tenant's burst
-    for _ in range(int(os.environ.get("CMS_BENCH_ROUNDS", "5"))):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         _, stage = run_round()
         dt = time.perf_counter() - t0
@@ -403,25 +546,12 @@ def _bench_twophase():
         extra = "".join(f" {k}={stage[k]:.2f}"
                         for k in ("pack_words", "pad", "screen")
                         if k in stage)
-        _log(f"[twophase] round {dt:.2f}s  "
+        _log(f"[twophase:{kind}] round {dt:.2f}s  "
              f"pack+screen={stage['pack+screen']:.2f}{extra} "
              f"launch={stage['launch']:.2f} drain={stage['drain']:.2f} "
              f"survivors={stage['survivor_rate']:.3%} "
              f"rate={B * T / dt:,.0f} pairs/s")
-    return {
-        "metric": (f"two-phase exact CDS pairs/s/chip ({B} masks x {T} "
-                   "targets, prod config xyShift2+mirror+1% cut, MXU "
-                   "prescreen + multi-mask exact kernel on compacted "
-                   "survivors)"),
-        "value": round(best, 1),
-        "unit": "pairs/s",
-        "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
-        # NB stage walls overlap the async device stream: "pack+screen"
-        # includes device time serialized behind the queued exact
-        # kernels, so it is NOT pure host pack cost (see ROADMAP)
-        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
-                   for k, v in best_stage.items()},
-    }
+    return best, best_stage, true_rate
 
 
 def main():

@@ -185,17 +185,25 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
-                                    "g_bucket", "interpret"))
+                                    "k_grid", "g_bucket", "interpret"))
 def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                     q_stack, t_padded, t_flipped, zt9: int, shifts_tuple,
-                    tb: int, n_k: int, g_bucket: int, interpret: bool):
+                    tb: int, n_k: int, k_grid: int, g_bucket: int,
+                    interpret: bool):
+    # k_grid: static grid extent of the tile dimension, >= every chunk's
+    # kn in this launch. MEASURED (profile_exact_phase, r3): the null-
+    # predicate exact-phase floor is ~uniform PER GRID STEP, so dead
+    # steps beyond a chunk's live range (mask padding to the K bucket,
+    # or rows outside the row-range restriction) cost as much as real
+    # skips — launches are therefore bucketed by live tile count and
+    # compiled at the matching pow2 grid, instead of always (chunks, K).
     n_rows = tgt.shape[0]
     n_chunks = n_rows // tb
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(n_chunks, n_k),
+        grid=(n_chunks, k_grid),
         in_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
                          lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
@@ -226,9 +234,15 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     return lane_sums.sum(axis=2)[:, :nv]  # [n_rows, nv]
 
 
+# smallest tile-grid bucket: launches with tiny live ranges still pay
+# at least this many grid steps (keeps the compiled-variant count low:
+# pow2 values in [K_GRID_MIN, n_k])
+K_GRID_MIN = int(os.environ.get("CMS_MM_KGRID_MIN", "8"))
+
+
 class _Launch:
     __slots__ = ("gmids", "lmids", "blk", "tgt", "surv", "coords_l",
-                 "k0s", "kns", "spans")
+                 "k0s", "kns", "k_grid", "spans")
 
     def __init__(self, n_rows, tb, g_bucket, n_k):
         nc = n_rows // tb
@@ -244,6 +258,7 @@ class _Launch:
         # keep kn=1 (never executed: blk=0 gates the body)
         self.k0s = np.zeros(nc, np.int32)
         self.kns = np.ones(nc, np.int32)
+        self.k_grid = n_k
         self.spans = []  # (engine_pos, row0, dest_idx np[n_real])
 
 
@@ -340,14 +355,24 @@ class MultiMaskScorer:
                     k0 = min(lo, max(n_act - 1, 0))
                     kn = max(hi - lo, 1)
                 chunks.append((pos, dest, k0, kn))
+        # group chunks by live tile count so each launch compiles at the
+        # smallest sufficient k-grid (dead grid steps cost like real
+        # ones — see _multimask_call); stable sort keeps each mask's
+        # row-coherent chunk order within a kn class
+        chunks.sort(key=lambda c: _pow2_at_least(c[3], K_GRID_MIN),
+                    reverse=True)
         launches = []
         i = 0
         while i < len(chunks):
-            # greedy fill: up to max_chunks chunks / g_bucket distinct masks
+            # greedy fill: up to max_chunks chunks / g_bucket distinct
+            # masks / one k-grid bucket
             masks_here = []
+            kg = _pow2_at_least(chunks[i][3], K_GRID_MIN)
             j = i
             while j < len(chunks) and j - i < max_chunks:
-                pos = chunks[j][0]
+                pos, _, _, kn_j = chunks[j]
+                if _pow2_at_least(kn_j, K_GRID_MIN) != kg:
+                    break
                 if pos not in masks_here:
                     if len(masks_here) == g_bucket:
                         break
@@ -356,6 +381,7 @@ class MultiMaskScorer:
             n_rows = _pow2_at_least((j - i) * tb, tb) \
                 if (j - i) * tb < ROWS else ROWS
             la = _Launch(n_rows, tb, g_bucket, n_k)
+            la.k_grid = min(kg, n_k)
             for ci, (pos, dest, k0, kn) in enumerate(chunks[i:j]):
                 lm = masks_here.index(pos)
                 la.gmids[ci] = self._gpos[pos]
@@ -407,7 +433,7 @@ class MultiMaskScorer:
                         jnp.asarray(la.coords_l.reshape(-1)),
                         jnp.asarray(la.k0s), jnp.asarray(la.kns),
                         q_stack, t_padded, t_flipped, self.zt9,
-                        self.shifts, TB, n_k, _g_bucket(n_k),
+                        self.shifts, TB, n_k, la.k_grid, _g_bucket(n_k),
                         self.interpret)
                 for pos, r0, dest in la.spans:
                     pendings[pos].append((dest, out, len(dest), r0))

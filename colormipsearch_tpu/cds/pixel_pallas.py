@@ -191,19 +191,89 @@ def _match_unpacked_fast(q, t, zt9: int):
     return ((qsel & tsel) > 0) & (same_ok | (adj & cond & gap_ok))
 
 
+def _match_unpacked_fast2(q, t, zt9: int):
+    """Exact-match predicate, f32-product form (zt9-gated like
+    _match_unpacked_fast; bit-identical results — pinned by the engine
+    crosscheck and golden tests).
+
+    v5e has no native int32 vector multiply (emulated at ~5x an add,
+    measured) but f32 multiply is native, and every product here is
+    exact in f32: a,b <= 255 so p=b1*b2, x=a1*b2, y=a2*b1 <= 65025 and
+    num = x+y <= 130050 < 2^24; rlc < 64 so rv = rlc*p <= 4.16e6 < 2^24;
+    e_band = 64*e <= 64*65601 = 4.2e6 < 2^24. The three staged-chain
+    multiplies whose magnitudes exceed 2^24 (num*1000, qc*p, rhc*p,
+    d*15625) stay int32. Also folds min(s1,s2) into lo and selects the
+    adjacency flags before the AND (2 selects replace 4 ANDs/ORs).
+    """
+    b1, a1, s1, qsel, qcl, qcu = q
+    b2, a2, s2, tsel, tcl, tcu = t
+    b1f = b1.astype(jnp.float32)
+    a1f = a1.astype(jnp.float32)
+    b2f = b2.astype(jnp.float32)
+    a2f = a2.astype(jnp.float32)
+    pf = b1f * b2f
+    xf = a1f * b2f
+    yf = a2f * b1f
+    p = pf.astype(jnp.int32)
+    same = s1 == s2
+    up = s2 == s1 + 1
+    down = s1 == s2 + 1
+    lo = jnp.where(up, s1, s2)       # = min(s1, s2) for adjacent pairs
+    adj_ok = (up | down) & (lo > 0)
+
+    packed = [
+        _pack_c9(max(2 * k - zt9, 0)) if (i % 2 == 0)
+        else _pack_c9(2 * k + zt9)
+        for i, k in enumerate(PAIR_K9, start=1)
+    ]
+    cpk = _select_by_lo(lo, packed)
+    cpk = jnp.where(same, _pack_c9(zt9), cpk)
+    qc = cpk >> 20
+    rhc = (cpk >> 6) & 0x3FFF
+    rlcf = (cpk & 0x3F).astype(jnp.float32)
+
+    # |y-x| and x+y are exact in f32; one convert instead of two
+    numf = jnp.where(same, jnp.abs(yf - xf), xf + yf)
+    num = numf.astype(jnp.int32)
+    d = num * 1000 - qc * p
+    e = d * 15625 - rhc * p
+    in_d = (d >= 0) & (d <= 65601)
+    in_e = (e >= 0) & (e <= 65601)
+    e_band = (64 * jnp.where(in_e, e, 0)).astype(jnp.float32)
+    rv = rlcf * pf                   # exact: rlc < 64, p <= 65025
+    leq_e = (e < 0) | (in_e & (e_band <= rv))
+    geq_e = (e >= 0) & ((e_band >= rv) | ~in_e)
+    leq = (d < 0) | (in_d & leq_e)
+    geq = (d >= 0) & (geq_e | ~in_d)
+
+    same_ok = same & (s1 > 0) & (a1 > 0) & (a2 > 0) & leq
+    # select the direction's flag pair, then one AND (replaces two
+    # 3-way conjunctions + OR)
+    fq = jnp.where(up, qcu, qcl)
+    ft = jnp.where(up, tcl, tcu)
+    cond = (fq & ft) > 0
+    is_even = (lo & 1) == 0          # lo in {2,4} among {1..5}
+    gap_ok = jnp.where(is_even, geq, leq)
+    return ((qsel & tsel) > 0) & (same_ok | (adj_ok & cond & gap_ok))
+
+
 # PROFILING ONLY (scripts/profile_exact_phase.py): replaces the hue-gap
 # predicate with the bare selection AND, to attribute exact-phase cost
 # between DMA/loads/accumulate and predicate compute. Scores are WRONG
 # with this on; toggled via module attribute + jax.clear_caches().
 _NULL_PRED = __import__("os").environ.get("CMS_NULL_PREDICATE") == "1"
+# predicate form A/B: 1 = f32-product form (default), 0 = int-only form
+_F32_PRED = __import__("os").environ.get("CMS_F32_PRED", "1") == "1"
 
 
 def _match_predicate(q, t, zt9: int):
-    """zt9-gated dispatch between the packed-constant fast predicate and
-    the general staged form (identical results either way)."""
+    """zt9-gated dispatch between the packed-constant fast predicates
+    and the general staged form (identical results every way)."""
     if _NULL_PRED:
         return (q[3] & t[3]) > 0
     if zt9 <= _PACK_ZT9_MAX:
+        if _F32_PRED:
+            return _match_unpacked_fast2(q, t, zt9)
         return _match_unpacked_fast(q, t, zt9)
     return _match_unpacked(q, t, zt9)
 

@@ -212,6 +212,25 @@ def run(args: argparse.Namespace) -> int:
 _PLANES_CACHE_MAX = 2048
 
 
+def _insert_plane(planes_cache: dict, key, planes) -> None:
+    """Bounded LRU insert with a host memory-pressure reaction
+    (AbstractCmd.java:52-62 analogue): device-resident plane sets are
+    the run's dominant steady-state HBM+RAM consumer, so under low
+    host memory the cache halves (more recomputation, never an OOM)."""
+    while len(planes_cache) >= _PLANES_CACHE_MAX:
+        planes_cache.pop(next(iter(planes_cache)))  # evict oldest (LRU)
+    planes_cache[key] = planes
+
+    def evict_half() -> int:
+        n = len(planes_cache) // 2
+        for _ in range(n):
+            planes_cache.pop(next(iter(planes_cache)))
+        return n
+
+    from ..utils.memguard import shared_guard
+    shared_guard().relieve(evict_half, "plane-cache")
+
+
 def _planes_host(target, cache: MIPsCache, args, excluded):
     """HOST part of a target's shape planes (decode + optional zgap
     dilation + plane algebra) — pure per-target work, safe to fan over a
@@ -275,9 +294,7 @@ def _prefetch_planes(targets, cache, args, excluded, planes_cache):
         planes = fut.result()
         if planes is not None:
             planes = _upload_planes(planes)
-        while len(planes_cache) >= _PLANES_CACHE_MAX:
-            planes_cache.pop(next(iter(planes_cache)))  # evict oldest
-        planes_cache[key] = planes
+        _insert_plane(planes_cache, key, planes)
 
 
 def _target_planes_cached(target, cache: MIPsCache, args, excluded,
@@ -294,9 +311,7 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
     planes = _planes_host(target, cache, args, excluded)
     if planes is not None:
         planes = _upload_planes(planes)
-    while len(planes_cache) >= _PLANES_CACHE_MAX:
-        planes_cache.pop(next(iter(planes_cache)))  # evict oldest (LRU)
-    planes_cache[key] = planes
+    _insert_plane(planes_cache, key, planes)
     return planes
 
 

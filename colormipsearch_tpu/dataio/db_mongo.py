@@ -50,6 +50,31 @@ def _connect(uri: str):
     return pymongo.MongoClient(uri)
 
 
+# bulk ops: real pymongo classes when available, otherwise stand-ins
+# exposing the same private fields the driver encodes — the test fake's
+# bulk_write consumes either shape (the reference bulk-upserts the same
+# way, AbstractNeuronMatchesMongoDao.java:117+)
+class _UpdateOne:
+    def __init__(self, filter, update, upsert=False):
+        self._filter, self._doc, self._upsert = filter, update, upsert
+
+
+class _ReplaceOne:
+    def __init__(self, filter, replacement, upsert=False):
+        self._filter, self._doc, self._upsert = filter, replacement, upsert
+
+
+def _op_classes():
+    try:  # pragma: no cover - env with real pymongo
+        from pymongo import ReplaceOne, UpdateOne
+        return UpdateOne, ReplaceOne
+    except ImportError:
+        return _UpdateOne, _ReplaceOne
+
+
+_BULK_CHUNK = 1000
+
+
 class MongoStore:
     """Mongo-backed store with the SqliteStore surface (db.py).
 
@@ -94,14 +119,23 @@ class MongoStore:
     # --- neuron metadata DAO ---
 
     def upsert_neurons(self, entities: Sequence[NeuronEntity]) -> None:
+        _, ReplaceOne = _op_classes()
+        # batch identity resolution for id-less entities: ONE indexed
+        # mipId query per chunk (NeuronMetadataMongoDao.java:80-110)
+        idless_mips = sorted({e.mip_id for e in entities
+                              if e.entity_id is None and e.mip_id})
+        by_mip = {}
+        for i in range(0, len(idless_mips), _BULK_CHUNK):
+            for ex in self.neurons.find({"mipId": {
+                    "$in": idless_mips[i:i + _BULK_CHUNK]}}):
+                by_mip.setdefault(ex.get("mipId"), []).append(ex)
+        ops = []
         for e in entities:
             if e.entity_id is None and e.mip_id is not None:
-                # createOrUpdate identity resolution for id-less
-                # entities (NeuronMetadataMongoDao.java:80-110)
                 d = e.to_dict()
                 want_input = (d.get("computeFiles") or {}) \
                     .get("InputColorDepthImage")
-                for ex in self.neurons.find({"mipId": e.mip_id}):
+                for ex in by_mip.get(e.mip_id, ()):
                     if ex.get("class") != d.get("class"):
                         continue
                     ex_input = (ex.get("computeFiles") or {}) \
@@ -114,7 +148,8 @@ class MongoStore:
                 e.entity_id = self.id_generator.generate_id()
             doc = e.to_dict()
             doc["_id"] = e.entity_id
-            self.neurons.replace_one({"_id": e.entity_id}, doc, upsert=True)
+            ops.append(ReplaceOne({"_id": e.entity_id}, doc, upsert=True))
+        self._bulk(self.neurons, ops)
 
     def find_neurons(self, param: DataSourceParam) -> List[NeuronEntity]:
         query = {}
@@ -196,37 +231,60 @@ class MongoStore:
 
     # --- matches DAO ---
 
+    def _existing_by_pair(self, matches):
+        """Prefetch existing match docs keyed on (maskRef, matchedRef)
+        with ONE indexed query per chunk instead of one find per match."""
+        mask_refs = sorted({m.mask_ref() for m in matches
+                            if m.mask_ref() is not None})
+        existing = {}
+        for i in range(0, len(mask_refs), _BULK_CHUNK):
+            for d in self.matches.find({"maskImageRefId": {
+                    "$in": mask_refs[i:i + _BULK_CHUNK]}}):
+                existing[(d.get("maskImageRefId"),
+                          d.get("matchedImageRefId"))] = d
+        return existing
+
     def upsert_matches(self, matches: Sequence[CDMatchEntity],
                        update_scores_only: bool = False) -> int:
-        n = 0
+        """Bulk upsert keyed on (maskImageRefId, matchedImageRefId) —
+        one bulk_write round trip per _BULK_CHUNK matches
+        (AbstractNeuronMatchesMongoDao.createOrUpdateAll:117+)."""
+        UpdateOne, ReplaceOne = _op_classes()
+        existing = self._existing_by_pair(matches)
+        ops, n = [], 0
         for m in matches:
             mask_ref = m.mask_ref()
             matched_ref = m.matched_ref()
             if mask_ref is None or matched_ref is None:
                 continue
             key = {"maskImageRefId": mask_ref, "matchedImageRefId": matched_ref}
-            existing = next(iter(self.matches.find(key)), None)
-            if existing is not None and update_scores_only:
+            ex = existing.get((mask_ref, matched_ref))
+            if ex is not None and update_scores_only:
                 # re-run mode: refresh pixel scores, keep shape scores
                 # (AbstractNeuronMatchesMongoDao field updates)
-                m.entity_id = existing["_id"]
-                self.matches.update_one({"_id": existing["_id"]}, {"$set": {
+                m.entity_id = ex["_id"]
+                ops.append(UpdateOne({"_id": ex["_id"]}, {"$set": {
                     "matchingPixels": m.matching_pixels,
                     "matchingPixelsRatio": m.matching_pixels_ratio,
-                    "mirrored": m.mirrored}})
+                    "mirrored": m.mirrored}}))
                 n += 1
                 continue
-            if existing is not None:
-                m.entity_id = existing["_id"]
+            if ex is not None:
+                m.entity_id = ex["_id"]
             elif m.entity_id is None:
                 m.entity_id = self.id_generator.generate_id()
             doc = m.to_dict()
             doc["_id"] = m.entity_id
             doc["maskImageRefId"] = mask_ref
             doc["matchedImageRefId"] = matched_ref
-            self.matches.replace_one(key, doc, upsert=True)
+            ops.append(ReplaceOne(key, doc, upsert=True))
             n += 1
+        self._bulk(self.matches, ops)
         return n
+
+    def _bulk(self, collection, ops):
+        for i in range(0, len(ops), _BULK_CHUNK):
+            collection.bulk_write(ops[i:i + _BULK_CHUNK], ordered=False)
 
     def update_match_fields(self, matches: Sequence[CDMatchEntity],
                             fields: Sequence[str]) -> int:
@@ -241,14 +299,15 @@ class MongoStore:
         names = [f for f in fields if f in _MATCH_SCORE_FIELDS]
         if not names:
             return 0
-        n = 0
+        UpdateOne, _ = _op_classes()
+        ops = []
         for m in matches:
             if m.entity_id is None:
                 continue
             update = {f: getter[f](m) for f in names}
-            self.matches.update_one({"_id": m.entity_id}, {"$set": update})
-            n += 1
-        return n
+            ops.append(UpdateOne({"_id": m.entity_id}, {"$set": update}))
+        self._bulk(self.matches, ops)
+        return len(ops)
 
     def find_matches_by_mask_refs(self, mask_refs: Sequence[int]
                                   ) -> List[CDMatchEntity]:
@@ -334,9 +393,11 @@ class MongoStore:
             return 0
         ids = list(entity_ids)
         if archive:
+            _, ReplaceOne = _op_classes()
             arch = self._db["cdMatchesArchive"]
-            for d in self.matches.find({"_id": {"$in": ids}}):
-                arch.replace_one({"_id": d["_id"]}, d, upsert=True)
+            self._bulk(arch, [ReplaceOne({"_id": d["_id"]}, d, upsert=True)
+                              for d in self.matches.find(
+                                  {"_id": {"$in": ids}})])
         res = self.matches.delete_many({"_id": {"$in": ids}})
         return getattr(res, "deleted_count", 0)
 

@@ -88,13 +88,18 @@ class MIPsCache:
     (CachedMIPsUtils.java:19-112; production sizes 100k-200k entries,
     scripts/cdsparams.sh:22-25)."""
 
-    def __init__(self, max_size: int = 100_000, array_store=None):
+    def __init__(self, max_size: int = 100_000, array_store=None,
+                 memory_guard=None):
         self.max_size = max_size
         # optional imageproc.store.PackedArrayStore for cross-run
         # decode-once caching
         self.array_store = array_store
         self._cache: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
+        if memory_guard is None:
+            from ..utils.memguard import shared_guard
+            memory_guard = shared_guard()
+        self.memory_guard = memory_guard
 
     def _key(self, neuron: NeuronEntity, file_type: ComputeFileType):
         return (neuron.entity_id or neuron.mip_id, file_type)
@@ -122,7 +127,18 @@ class MIPsCache:
             self._cache.move_to_end(key)
             while len(self._cache) > self.max_size:
                 self._cache.popitem(last=False)
+        # host memory-pressure reaction (AbstractCmd.java:52-62 analogue):
+        # shrink instead of growing into an OOM — the cache refills
+        # lazily once pressure clears
+        self.memory_guard.relieve(self._evict_half, "image-cache")
         return mip
+
+    def _evict_half(self) -> int:
+        with self._lock:
+            n = len(self._cache) // 2
+            for _ in range(n):
+                self._cache.popitem(last=False)
+        return n
 
     def clear(self) -> None:
         with self._lock:
