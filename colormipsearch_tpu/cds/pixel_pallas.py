@@ -253,7 +253,10 @@ def _match_unpacked_fast2(q, t, zt9: int):
     ft = jnp.where(up, tcl, tcu)
     cond = (fq & ft) > 0
     is_even = (lo & 1) == 0          # lo in {2,4} among {1..5}
-    gap_ok = jnp.where(is_even, geq, leq)
+    # boolean algebra, NOT jnp.where: select_n on i1 vectors lowers to
+    # an i8->i1 arith.trunci that Mosaic rejects on real HW ("Unsupported
+    # target bitwidth for truncation") while the interpreter accepts it
+    gap_ok = (is_even & geq) | (~is_even & leq)
     return ((qsel & tsel) > 0) & (same_ok | (adj_ok & cond & gap_ok))
 
 

@@ -62,6 +62,13 @@ def add_parser(subparsers) -> None:
                    help="only rescore masks stamped with these processing "
                         "tags (AbstractGradientScoresArgs.java:58)")
     p.add_argument("--cancel-previous-gradient-scores", action="store_true")
+    p.add_argument("--use-bidirectional-matching", action="store_true",
+                   help="accepted for command-line compatibility; 3D "
+                        "bidirectional shape matching is not computed "
+                        "(the reference declares but never uses this "
+                        "flag either — CalculateGradientScoresCmd.java:"
+                        "89-94 hard-codes it false; bidirectionalAreaGap "
+                        "values arrive from an external pipeline)")
     p.add_argument("--computeZGapOnTheFly", action="store_true",
                    help="derive missing ZGap variants by 10px dilation")
     p.add_argument("--write-batch-size", type=int, default=10000,
