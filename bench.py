@@ -357,6 +357,17 @@ def _bench_twophase():
             detail.update(_bench_gradients_production())
         except Exception as e:  # keep the headline robust
             _log(f"[grad-prod] skipped: {e}")
+    # north-star projection inputs (VERDICT r2 weak #4): everything in
+    # this block except measured_* is an EXTRAPOLATION assumption, kept
+    # next to the measured numbers so the distinction is driver-visible
+    detail["projection"] = {
+        "measured_pairs_per_s_v5e": round(best, 1),
+        "measured_survivor_rate": detail.get("survivor_rate"),
+        "assumed_v5p_vpu_factor": 2.3,   # NOT measured (no v5p access)
+        "assumed_chips": 16,             # v5p-16 target deployment
+        "projected_pairs_per_s_v5p16": round(best * 2.3 * 16, 0),
+        "north_star_pairs_per_s": 69000.0,  # 40k x 100k pairs < 1h / 16
+    }
     return {
         "metric": (f"two-phase exact CDS pairs/s/chip ({B} masks x {T} "
                    "targets, prod config xyShift2+mirror+1% cut, MXU "

@@ -45,7 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pixel_pallas import (NV_PAD, TILE_H, TILE_W, DeferredScore,
-                           _dev_ctx, _match_predicate, _unpack)
+                           _RATIO_PRED, _dev_ctx, _match_predicate,
+                           _ratio_consts, _ratio_match, _ratio_prep,
+                           _unpack)
 
 # rows per launch (fixed compile shape; tails round up to a pow2
 # bucket). MEASURED (1024x512 bench): 1024 rows -> 56.5K pairs/s,
@@ -79,7 +81,8 @@ def _pow2_at_least(n: int, lo: int) -> int:
     return v
 
 
-def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
+def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
+                 ratio: bool = False):
     win_h = 3 * TILE_H
     win_w = 3 * TILE_W
     n_shifts = len(shifts)
@@ -87,7 +90,8 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
     assert nv <= NV_PAD
 
     def kernel(gmids, lmids, blk, tgt, surv, coords, k0s, kns, q_ref, t_hbm,
-               tf_hbm, out_ref, acc, win_d, win_m, sems):
+               tf_hbm, out_ref, acc, win_d, win_m, sems, qf_ref=None,
+               rfb=None, fb=None):
         t = pl.program_id(0)
         k = pl.program_id(1)
         alive = blk[t] > 0
@@ -148,14 +152,25 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
         def _():
             wait_window(slot, k)
 
-        q = _unpack(q_ref[0])
+        if ratio:
+            C = _ratio_consts(q_ref[0], qf_ref[0])
 
-        def variant_loop(win, g0, base_vi):
-            for vi, (dx, dy) in enumerate(shifts):
-                r0, c0 = TILE_H + dy, TILE_W + dx
-                w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
-                acc[g0, base_vi + vi, :] += m.sum(axis=0)
+            def variant_loop(win, g0, base_vi):
+                for vi, (dx, dy) in enumerate(shifts):
+                    r0, c0 = TILE_H + dy, TILE_W + dx
+                    rf = rfb[r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    fw = fb[r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    m = _ratio_match(rf, fw, C).astype(jnp.int32)
+                    acc[g0, base_vi + vi, :] += m.sum(axis=0)
+        else:
+            q = _unpack(q_ref[0])
+
+            def variant_loop(win, g0, base_vi):
+                for vi, (dx, dy) in enumerate(shifts):
+                    r0, c0 = TILE_H + dy, TILE_W + dx
+                    w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
+                    acc[g0, base_vi + vi, :] += m.sum(axis=0)
 
         def target_body(j, _):
             sv = surv[t * tb + j]
@@ -164,10 +179,14 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
 
             @pl.when((sv > 0) & (any_d > 0))
             def _():
+                if ratio:
+                    _ratio_prep(win_d[slot, j], rfb, fb)
                 variant_loop(win_d, j, 0)
 
             @pl.when((sv > 0) & (any_m > 0))
             def _():
+                if ratio:
+                    _ratio_prep(win_m[slot, j], rfb, fb)
                 variant_loop(win_m, j, n_shifts)
 
             return 0
@@ -180,6 +199,14 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int):
         def _():
             out_ref[...] = acc[...]
 
+    if ratio:
+        def kernel_ratio(gmids, lmids, blk, tgt, surv, coords, k0s, kns,
+                         qc_ref, qf_ref, t_hbm, tf_hbm, out_ref, acc,
+                         win_d, win_m, rfb, fb, sems):
+            kernel(gmids, lmids, blk, tgt, surv, coords, k0s, kns, qc_ref,
+                   t_hbm, tf_hbm, out_ref, acc, win_d, win_m, sems,
+                   qf_ref=qf_ref, rfb=rfb, fb=fb)
+        return kernel_ratio, win_h, win_w, nv
     return kernel, win_h, win_w, nv
 
 
@@ -234,6 +261,62 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     return lane_sums.sum(axis=2)[:, :nv]  # [n_rows, nv]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
+                                    "k_grid", "g_bucket", "interpret"))
+def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
+                          qc_stack, qf_stack, t_padded, t_flipped, zt9: int,
+                          shifts_tuple, tb: int, n_k: int, k_grid: int,
+                          g_bucket: int, interpret: bool):
+    """Ratio-predicate variant of _multimask_call: the stacked query
+    streams as (packed compare constants, f32 bound planes) and the
+    kernel gets the shared per-window prep scratch (see
+    pixel_pallas._ratio_prep)."""
+    n_rows = tgt.shape[0]
+    n_chunks = n_rows // tb
+    shifts = list(shifts_tuple)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
+                                            ratio=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_chunks, k_grid),
+        in_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
+                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
+                          0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
+                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
+                          0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
+                               lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
+                               (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((win_h, win_w), jnp.float32),
+            pltpu.VMEM((win_h, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    lane_sums = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, NV_PAD, TILE_W), jnp.int32),
+        interpret=interpret,
+    )(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns, qc_stack, qf_stack,
+      t_padded, t_flipped)
+    return lane_sums.sum(axis=2)[:, :nv]  # [n_rows, nv]
+
+
 # smallest tile-grid bucket: launches with tiny live ranges still pay
 # at least this many grid steps (keeps the compiled-variant count low:
 # pow2 values in [K_GRID_MIN, n_k])
@@ -284,40 +367,63 @@ class MultiMaskScorer:
         self.buckets = {}  # n_k -> [engine_pos]
         for i, e in enumerate(self.engines):
             self.buckets.setdefault(e.tiles.q_tiles.shape[0], []).append(i)
+        # ratio-predicate mode follows the engines (pixel_pallas
+        # _RATIO_PRED): the stacked query is (q_cmp, q_f32) planes
+        # instead of packed words — see ratio_bounds.py
+        ratios = {getattr(e, "ratio", False) for e in self.engines}
+        assert len(ratios) == 1, "mixed-predicate engines in one scorer"
+        self.ratio = ratios.pop()
         # host-stacked query tiles per bucket, padded to a pow2 mask
         # count so the compiled shape survives mask-block size changes
         self._q_host = {}
         self._gpos = {}  # engine_pos -> index within its bucket stack
         for n_k, idxs in self.buckets.items():
             b_pad = _pow2_at_least(len(idxs), 16)
-            stack = np.zeros((b_pad * n_k, TILE_H, TILE_W), np.int32)
-            for gi, pos in enumerate(idxs):
-                stack[gi * n_k:(gi + 1) * n_k] = self.engines[pos].tiles.q_tiles
-                self._gpos[pos] = gi
-            self._q_host[n_k] = stack
-        self._q_dev = {}  # (n_k, device) -> device array
+            if self.ratio:
+                qc = np.zeros((b_pad * n_k, TILE_H, TILE_W), np.int32)
+                qf = np.zeros((b_pad * n_k, 4, TILE_H, TILE_W), np.float32)
+                for gi, pos in enumerate(idxs):
+                    tiles = self.engines[pos].tiles
+                    qc[gi * n_k:(gi + 1) * n_k] = tiles.q_cmp
+                    qf[gi * n_k:(gi + 1) * n_k] = tiles.q_f32
+                    self._gpos[pos] = gi
+                self._q_host[n_k] = (qc, qf)
+            else:
+                stack = np.zeros((b_pad * n_k, TILE_H, TILE_W), np.int32)
+                for gi, pos in enumerate(idxs):
+                    stack[gi * n_k:(gi + 1) * n_k] = \
+                        self.engines[pos].tiles.q_tiles
+                    self._gpos[pos] = gi
+                self._q_host[n_k] = stack
+        self._q_dev = {}  # (n_k, device) -> device array (or tuple)
+
+    @staticmethod
+    def _put_blockwise(host, n_k, device):
+        # a K=768 bucket with many masks is multi-GB; one device_put
+        # of that size risks nondeterministic RESOURCE_EXHAUSTED on
+        # the shared-HBM chip — place it in bounded row blocks via
+        # donated dynamic_update_slice (same rule as pack_raw_words)
+        row_bytes = int(np.prod(host.shape[1:])) * host.dtype.itemsize
+        blk_masks = max(1, (256 << 20) // max(n_k * row_bytes, 1))
+        blk = blk_masks * n_k
+        from .pixel_pallas import _dev_ctx, _place_block
+        with _dev_ctx(device):
+            if host.shape[0] <= blk:
+                return jnp.asarray(host)
+            got = jnp.zeros(host.shape, host.dtype)
+            for i in range(0, host.shape[0], blk):
+                got = _place_block(got, jnp.asarray(host[i:i + blk]), i)
+            return got
 
     def _q_for(self, n_k, device):
         got = self._q_dev.get((n_k, device))
         if got is None:
             host = self._q_host[n_k]
-            # a K=768 bucket with many masks is multi-GB; one device_put
-            # of that size risks nondeterministic RESOURCE_EXHAUSTED on
-            # the shared-HBM chip — place it in bounded row blocks via
-            # donated dynamic_update_slice (same rule as pack_raw_words)
-            rows_per_mask = n_k
-            blk_masks = max(1, (256 << 20) // max(
-                rows_per_mask * TILE_H * TILE_W * 4, 1))
-            blk = blk_masks * rows_per_mask
-            from .pixel_pallas import _dev_ctx, _place_block
-            with _dev_ctx(device):
-                if host.shape[0] <= blk:
-                    got = jnp.asarray(host)
-                else:
-                    got = jnp.zeros(host.shape, host.dtype)
-                    for i in range(0, host.shape[0], blk):
-                        got = _place_block(got, jnp.asarray(host[i:i + blk]),
-                                           i)
+            if self.ratio:
+                got = tuple(self._put_blockwise(h, n_k, device)
+                            for h in host)
+            else:
+                got = self._put_blockwise(host, n_k, device)
             self._q_dev[(n_k, device)] = got
         return got
 
@@ -426,15 +532,21 @@ class MultiMaskScorer:
             q_stack = self._q_for(n_k, device)
             for la in self._build_launches(n_k, surv_np, idxs, row_ranges):
                 with _dev_ctx(device):
-                    out = _multimask_call(
-                        jnp.asarray(la.gmids), jnp.asarray(la.lmids),
-                        jnp.asarray(la.blk), jnp.asarray(la.tgt),
-                        jnp.asarray(la.surv),
-                        jnp.asarray(la.coords_l.reshape(-1)),
-                        jnp.asarray(la.k0s), jnp.asarray(la.kns),
-                        q_stack, t_padded, t_flipped, self.zt9,
-                        self.shifts, TB, n_k, la.k_grid, _g_bucket(n_k),
-                        self.interpret)
+                    scalars = (jnp.asarray(la.gmids), jnp.asarray(la.lmids),
+                               jnp.asarray(la.blk), jnp.asarray(la.tgt),
+                               jnp.asarray(la.surv),
+                               jnp.asarray(la.coords_l.reshape(-1)),
+                               jnp.asarray(la.k0s), jnp.asarray(la.kns))
+                    if self.ratio:
+                        out = _multimask_call_ratio(
+                            *scalars, q_stack[0], q_stack[1], t_padded,
+                            t_flipped, self.zt9, self.shifts, TB, n_k,
+                            la.k_grid, _g_bucket(n_k), self.interpret)
+                    else:
+                        out = _multimask_call(
+                            *scalars, q_stack, t_padded, t_flipped,
+                            self.zt9, self.shifts, TB, n_k, la.k_grid,
+                            _g_bucket(n_k), self.interpret)
                 for pos, r0, dest in la.spans:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])

@@ -267,6 +267,42 @@ def _match_unpacked_fast2(q, t, zt9: int):
 _NULL_PRED = __import__("os").environ.get("CMS_NULL_PREDICATE") == "1"
 # predicate form A/B: 1 = f32-product form (default), 0 = int-only form
 _F32_PRED = __import__("os").environ.get("CMS_F32_PRED", "1") == "1"
+# ratio-interval predicate (cds/ratio_bounds.py): host-precomputed f32
+# decision bounds collapse the staged-rational chain to f32 compares +
+# boolean algebra, and the per-target ratio plane is computed once per
+# WINDOW instead of once per variant. Bit-identical (test_ratio_bounds,
+# test_pixel_pallas ratio crosschecks).
+_RATIO_PRED = __import__("os").environ.get("CMS_RATIO_PRED", "0") == "1"
+
+
+def _ratio_consts(qc, qf):
+    """Per-grid-step query vregs for the ratio predicate (qc [8,128]
+    int32 packed compare constants, qf [4,8,128] f32 bounds — see
+    ratio_bounds.query_ratio_planes)."""
+    return dict(
+        sc=qc & 31, uc=(qc >> 5) & 31, dc=(qc >> 10) & 63,
+        gup=((qc >> 16) & 1) > 0, gdn=((qc >> 17) & 1) > 0,
+        L=qf[0], U=qf[1], cup=qf[2], cdn=qf[3])
+
+
+def _ratio_prep(w, rfb, fb):
+    """Unpack one packed window [wh, ww] into the shared-by-all-variants
+    ratio plane (a2==0 -> -1 sentinel) and flag-field plane."""
+    a2 = (w >> 8) & 0xFF
+    rf = a2.astype(jnp.float32) / (w & 0xFF).astype(jnp.float32)
+    rfb[...] = jnp.where(a2 == 0, jnp.float32(-1.0), rf)
+    fb[...] = w >> 16
+
+
+def _ratio_match(rf, fw, C):
+    """Exact hue-gap predicate over the prepped planes: 3 masked
+    equality checks (sector+sel+precondition in one compare) + 4 f32
+    compares against exactly-placed bounds. Boolean algebra only —
+    select_n on i1 vectors emits an i8->i1 trunc Mosaic rejects."""
+    same_ok = ((fw & 15) == C["sc"]) & (rf >= C["L"]) & (rf <= C["U"])
+    up_ok = ((fw & 31) == C["uc"]) & ((rf <= C["cup"]) ^ C["gup"])
+    dn_ok = ((fw & 47) == C["dc"]) & ((rf <= C["cdn"]) ^ C["gdn"])
+    return same_ok | up_ok | dn_ok
 
 
 def _match_predicate(q, t, zt9: int):
@@ -290,9 +326,13 @@ class ActiveTiles:
     query_size: int
     height: int
     width: int
+    # ratio-predicate query planes (None unless built with zt9):
+    q_cmp: Optional[np.ndarray] = None   # int32 [K, TILE_H, TILE_W]
+    q_f32: Optional[np.ndarray] = None   # f32 [K, 4, TILE_H, TILE_W]
 
 
-def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
+def build_active_tiles(planes: QueryPlanes, pad: int,
+                       zt9: Optional[int] = None) -> ActiveTiles:
     """Decompose packed query planes into active 8x128 tiles.
 
     coords are 3x3 super-tile window ORIGINS in the ring-padded target
@@ -330,8 +370,14 @@ def build_active_tiles(planes: QueryPlanes, pad: int) -> ActiveTiles:
         # identical coordinates).
         coords[i, 0] = ty * TILE_H
         coords[i, 1] = tx * TILE_W
+    q_cmp = q_f32 = None
+    if zt9 is not None:
+        from .ratio_bounds import query_ratio_planes
+        q_cmp, q_f32 = query_ratio_planes(q_tiles, zt9)
+        q_f32 = np.ascontiguousarray(q_f32.transpose(1, 0, 2, 3))
     return ActiveTiles(q_tiles=q_tiles, coords=coords, n_active=n_active,
-                       query_size=planes.query_size, height=h, width=w)
+                       query_size=planes.query_size, height=h, width=w,
+                       q_cmp=q_cmp, q_f32=q_f32)
 
 
 def _dev_ctx(device):
@@ -375,8 +421,11 @@ def _pad_block(wb, spec):
             jnp.pad(wb[:, :, ::-1], spec, constant_values=1))
 
 
-def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
+def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int,
+                 ratio: bool = False):
     assert tb % tg == 0
+    if ratio:
+        assert tg == 1, "ratio predicate uses per-target window prep"
     # tile-aligned 3x3 super-tile window: Mosaic only slices HBM memrefs
     # at (8, 128)-tile granularity, so each step copies the full tile
     # ring around the query tile; variant slices offset from its center.
@@ -390,7 +439,7 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
     assert nv <= NV_PAD
 
     def kernel(coords_ref, surv_ref, blk_ref, q_ref, t_hbm, tf_hbm, out_ref,
-               acc, win_d, win_m, sems):
+               acc, win_d, win_m, sems, qf_ref=None, rfb=None, fb=None):
         t = pl.program_id(0)
         k = pl.program_id(1)
         # block-level gate: a target block with NO survivor (e.g. the
@@ -438,31 +487,48 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
         def _():
             wait_window(slot, k)
 
-        q = _unpack(q_ref[0])
+        if ratio:
+            C = _ratio_consts(q_ref[0], qf_ref[0])
 
-        def variant_loop(win, g0, base_vi):
-            # one packed VMEM load per variant, then unpack in registers
-            # — keeps live vregs ~14 instead of holding 12 unpacked
-            # (24,384) planes (which spills). tg>1 vectorizes a
-            # [tg, 8, 128] target group per op (measured SLOWER than the
-            # squeezed per-target load on current Mosaic — grouped
-            # slices defeat its addressing; kept for future re-tests)
-            for vi, (dx, dy) in enumerate(shifts):
-                r0, c0 = TILE_H + dy, TILE_W + dx
-                if tg == 1:
-                    # NB: a per-variant @pl.when empty-slice skip was
-                    # measured at 1,957 pairs/s vs 4,165 without — 18
-                    # scalar branches per target stall the vector
-                    # pipeline far more than the skipped multiplies
-                    # cost. Signal skips stay at window granularity.
-                    w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
+            def variant_loop(win, g0, base_vi):
+                # slices of the per-window prepped planes (rfb/fb are
+                # filled right before this under the same @pl.when)
+                for vi, (dx, dy) in enumerate(shifts):
+                    r0, c0 = TILE_H + dy, TILE_W + dx
+                    rf = rfb[r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    fw = fb[r0:r0 + TILE_H, c0:c0 + TILE_W]
+                    m = _ratio_match(rf, fw, C).astype(jnp.int32)
                     acc[g0, base_vi + vi, :] += m.sum(axis=0)
-                else:
-                    w = win[slot, pl.ds(g0, tg), r0:r0 + TILE_H,
-                            c0:c0 + TILE_W]
-                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
-                    acc[pl.ds(g0, tg), base_vi + vi, :] += m.sum(axis=1)
+        else:
+            q = _unpack(q_ref[0])
+
+            def variant_loop(win, g0, base_vi):
+                # one packed VMEM load per variant, then unpack in
+                # registers — keeps live vregs ~14 instead of holding 12
+                # unpacked (24,384) planes (which spills). tg>1
+                # vectorizes a [tg, 8, 128] target group per op
+                # (measured SLOWER than the squeezed per-target load on
+                # current Mosaic — grouped slices defeat its addressing;
+                # kept for future re-tests)
+                for vi, (dx, dy) in enumerate(shifts):
+                    r0, c0 = TILE_H + dy, TILE_W + dx
+                    if tg == 1:
+                        # NB: a per-variant @pl.when empty-slice skip
+                        # was measured at 1,957 pairs/s vs 4,165 without
+                        # — 18 scalar branches per target stall the
+                        # vector pipeline far more than the skipped
+                        # multiplies cost. Signal skips stay at window
+                        # granularity.
+                        w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
+                        m = _match_predicate(q, _unpack(w),
+                                             zt9).astype(jnp.int32)
+                        acc[g0, base_vi + vi, :] += m.sum(axis=0)
+                    else:
+                        w = win[slot, pl.ds(g0, tg), r0:r0 + TILE_H,
+                                c0:c0 + TILE_W]
+                        m = _match_predicate(q, _unpack(w),
+                                             zt9).astype(jnp.int32)
+                        acc[pl.ds(g0, tg), base_vi + vi, :] += m.sum(axis=1)
 
         def target_body(gi, _):
             # two early outs per target GROUP: (1) the MXU prescreen
@@ -480,10 +546,14 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
 
             @pl.when((surv > 0) & (any_d > 0))
             def _():
+                if ratio:
+                    _ratio_prep(win_d[slot, g0], rfb, fb)
                 variant_loop(win_d, g0, 0)
 
             @pl.when((surv > 0) & (any_m > 0))
             def _():
+                if ratio:
+                    _ratio_prep(win_m[slot, g0], rfb, fb)
                 variant_loop(win_m, g0, n_shifts)
 
             return 0
@@ -496,6 +566,14 @@ def _make_kernel(shifts, pad: int, zt9: int, n_k: int, tb: int, tg: int):
         def _():
             out_ref[...] = acc[...]
 
+    if ratio:
+        def kernel_ratio(coords_ref, surv_ref, blk_ref, qc_ref, qf_ref,
+                         t_hbm, tf_hbm, out_ref, acc, win_d, win_m, rfb, fb,
+                         sems):
+            kernel(coords_ref, surv_ref, blk_ref, qc_ref, t_hbm, tf_hbm,
+                   out_ref, acc, win_d, win_m, sems, qf_ref=qf_ref,
+                   rfb=rfb, fb=fb)
+        return kernel_ratio, win_h, win_w, nv
     return kernel, win_h, win_w, nv
 
 
@@ -556,6 +634,68 @@ def _active_tile_call(coords, survivors, q_tiles, t_padded, t_flipped,
     return lane_sums.sum(axis=2)[:, :nv]  # [T, nv]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "pad", "shifts_tuple", "tb",
+                                    "tg", "interpret"))
+def _compact_call_ratio(coords, survivors, q_cmp, q_f32, t_padded,
+                        t_flipped, idx, zt9: int, pad: int, shifts_tuple,
+                        tb: int, tg: int, interpret: bool):
+    tp_c = jnp.take(t_padded, idx, axis=0)
+    tf_c = jnp.take(t_flipped, idx, axis=0)
+    return _active_tile_call_ratio.__wrapped__(
+        coords, survivors, q_cmp, q_f32, tp_c, tf_c, zt9, pad,
+        shifts_tuple, tb, tg, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("zt9", "pad", "shifts_tuple", "tb",
+                                    "tg", "interpret"))
+def _active_tile_call_ratio(coords, survivors, q_cmp, q_f32, t_padded,
+                            t_flipped, zt9: int, pad: int, shifts_tuple,
+                            tb: int, tg: int, interpret: bool):
+    """Ratio-predicate variant of _active_tile_call: the query streams
+    as (packed compare constants, f32 bound planes) instead of packed
+    words, and the kernel gets the shared window-prep scratch."""
+    tsz = t_padded.shape[0]
+    assert tsz % tb == 0, "target count must be a multiple of the block"
+    n_k = q_cmp.shape[0]
+    shifts = list(shifts_tuple)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, pad, zt9, n_k, tb, tg,
+                                            ratio=True)
+    blk = survivors.reshape(tsz // tb, tb).max(axis=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tsz // tb, n_k),
+        in_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, k, c, s, b: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                         lambda t, k, c, s, b: (k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, NV_PAD, TILE_W),
+                               lambda t, k, c, s, b: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
+            pltpu.VMEM((win_h, win_w), jnp.float32),
+            pltpu.VMEM((win_h, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    lane_sums = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tsz, NV_PAD, TILE_W), jnp.int32),
+        interpret=interpret,
+    )(coords, survivors, blk, q_cmp, q_f32, t_padded, t_flipped)
+    return lane_sums.sum(axis=2)[:, :nv]  # [T, nv]
+
+
 class ActiveTilePixelEngine:
     """Active-tile Pallas pixel-match scorer for one query.
 
@@ -585,8 +725,10 @@ class ActiveTilePixelEngine:
         import os as _os
         self.target_group = int(_os.environ.get("CMS_TARGET_GROUP", "1"))
         self._sparse_feed = _os.environ.get("CMS_SPARSE_FEED", "1") == "1"
-        self.tiles = build_active_tiles(self.planes, self.pad)
-        self._dev_query = {}  # device (None = default) -> (coords, q_tiles)
+        self.ratio = _RATIO_PRED
+        self.tiles = build_active_tiles(self.planes, self.pad,
+                                        self.zt9 if self.ratio else None)
+        self._dev_query = {}  # device (None = default) -> query arrays
 
     def _pack_block(self, t_block_u8):
         from .pixel_kernel import pack_planes
@@ -699,16 +841,20 @@ class ActiveTilePixelEngine:
                                    device)
 
     def _query_dev(self, device=None):
-        """Device-cached (coords, q_tiles) — uploaded once per engine
-        per device (keyed by device; None = process default)."""
+        """Device-cached query arrays — uploaded once per engine per
+        device (keyed by device; None = process default). Standard:
+        (coords, q_tiles); ratio: (coords, q_cmp, q_f32)."""
         got = self._dev_query.get(device)
         if got is None:
-            if device is None:
-                got = (jnp.asarray(self.tiles.coords),
-                       jnp.asarray(self.tiles.q_tiles))
+            if self.ratio:
+                host = (self.tiles.coords, self.tiles.q_cmp,
+                        self.tiles.q_f32)
             else:
-                got = (jax.device_put(self.tiles.coords, device),
-                       jax.device_put(self.tiles.q_tiles, device))
+                host = (self.tiles.coords, self.tiles.q_tiles)
+            if device is None:
+                got = tuple(jnp.asarray(a) for a in host)
+            else:
+                got = tuple(jax.device_put(a, device) for a in host)
             self._dev_query[device] = got
         return got
 
@@ -724,8 +870,13 @@ class ActiveTilePixelEngine:
         tg = self.target_group
         while tb % tg:
             tg //= 2
-        coords, q_tiles = self._query_dev(device)
         with _dev_ctx(device):
+            if self.ratio:
+                coords, q_cmp, q_f32 = self._query_dev(device)
+                return _active_tile_call_ratio(
+                    coords, surv, q_cmp, q_f32, t_padded, t_flipped,
+                    self.zt9, self.pad, self.shifts, tb, 1, self.interpret)
+            coords, q_tiles = self._query_dev(device)
             return _active_tile_call(
                 coords, surv, q_tiles,
                 t_padded, t_flipped, self.zt9, self.pad, self.shifts,
@@ -772,7 +923,7 @@ class ActiveTilePixelEngine:
             if ns == 0:
                 pass
             elif ns <= tsz // 4 and tsz > ck:
-                coords, q_tiles = self._query_dev(device)
+                qd = self._query_dev(device)
                 tb = min(self.target_block, ck)
                 tg = self.target_group
                 while tb % tg:
@@ -784,10 +935,17 @@ class ActiveTilePixelEngine:
                     surv_c = np.zeros(ck, dtype=np.int32)
                     surv_c[:max(ns - c0, 0)] = 1
                     with _dev_ctx(device):
-                        oc = _compact_call(
-                            coords, surv_c, q_tiles, t_padded, t_flipped,
-                            idx_pad[c0:c0 + ck], self.zt9, self.pad,
-                            self.shifts, tb, max(tg, 1), self.interpret)
+                        if self.ratio:
+                            oc = _compact_call_ratio(
+                                qd[0], surv_c, qd[1], qd[2], t_padded,
+                                t_flipped, idx_pad[c0:c0 + ck], self.zt9,
+                                self.pad, self.shifts, tb, 1,
+                                self.interpret)
+                        else:
+                            oc = _compact_call(
+                                qd[0], surv_c, qd[1], t_padded, t_flipped,
+                                idx_pad[c0:c0 + ck], self.zt9, self.pad,
+                                self.shifts, tb, max(tg, 1), self.interpret)
                     real = min(ck, ns - c0)
                     pending.append((idx_pad[c0:c0 + real], oc, real, 0))
             else:

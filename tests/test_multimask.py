@@ -184,6 +184,32 @@ def test_multimask_row_range_restriction(library):
         np.testing.assert_array_equal(gm, wm)
 
 
+def test_multimask_ratio_matches_default(library, monkeypatch):
+    """Ratio-predicate multimask launch (CMS_RATIO_PRED) must score
+    bit-identically to the default-predicate multimask AND per-mask
+    paths, over a sparse survivor matrix."""
+    import colormipsearch_tpu.cds.pixel_pallas as pp
+    from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    base = _engines(masks)
+    packed = base[0].prepare_targets(targets)
+    surv = _survivor_matrix(base, targets)
+    want = drain_deferred(
+        MultiMaskScorer(base, interpret=True).launch_deferred(packed, surv))
+
+    monkeypatch.setattr(pp, "_RATIO_PRED", True)
+    engines = _engines(masks)
+    mm = MultiMaskScorer(engines, interpret=True)
+    assert mm.ratio
+    got = drain_deferred(mm.launch_deferred(packed, surv))
+    for (gs, gr, gm), (ws, wr, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+        np.testing.assert_allclose(gr, wr)
+
+
 def test_row_ranges_from_words(library):
     from colormipsearch_tpu.cds.multimask import row_ranges_from_words
     masks, targets = library

@@ -42,6 +42,57 @@ def test_pallas_matches_dense_random():
     np.testing.assert_array_equal(pm, dm)
 
 
+def test_ratio_engine_matches_goldens(fixtures_dir, monkeypatch):
+    """Ratio-predicate kernel path (CMS_RATIO_PRED) == goldens +
+    default engine, including the survivor-compaction path."""
+    import colormipsearch_tpu.cds.pixel_pallas as pp
+    monkeypatch.setattr(pp, "_RATIO_PRED", True)
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    engine = ActiveTilePixelEngine(query, 20, True, 20, 1.0, 2, excluded,
+                                   interpret=True)
+    assert engine.ratio and engine.tiles.q_cmp is not None
+    lms = ["VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif",
+           "BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_HR-2483089192251293794-CH2-01_CDM.tif",
+           "VT016795_115C08_AE_01-20200221_61_I2-m-CH1_01.tif"]
+    targets = np.stack([load_image(fixtures_dir / "lms" / n).pixels
+                        for n in lms])
+    scores, ratios, mirrored = engine.score_batch(targets)
+    assert list(scores) == [439, 414, 426]
+    assert list(mirrored) == [False, False, True]
+
+
+def test_ratio_engine_matches_default_random(monkeypatch):
+    """Ratio kernel == default kernel on dense random data, both full
+    and compacted-survivor launches."""
+    import colormipsearch_tpu.cds.pixel_pallas as pp
+    rng = np.random.default_rng(7)
+    h, w = 40, 200
+    q = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    q[rng.random((h, w)) < 0.8] = 0
+    t = rng.integers(0, 256, size=(8, h, w, 3)).astype(np.uint8)
+    t[rng.random((8, h, w)) < 0.5] = 0
+    query = image_from_array(q)
+    base = ActiveTilePixelEngine(query, 20, True, 20, 2.0, 2, None,
+                                 interpret=True)
+    monkeypatch.setattr(pp, "_RATIO_PRED", True)
+    ratio = ActiveTilePixelEngine(query, 20, True, 20, 2.0, 2, None,
+                                  interpret=True)
+    packed_b = base.prepare_targets(t)
+    packed_r = ratio.prepare_targets(t)
+    bs, br_, bm = base.score_packed(packed_b)
+    rs, rr_, rm = ratio.score_packed(packed_r)
+    np.testing.assert_array_equal(rs, bs)
+    np.testing.assert_array_equal(rm, bm)
+    # compaction path (2 survivors of 8, chunk forced small)
+    monkeypatch.setattr(ActiveTilePixelEngine, "COMPACT_CHUNK", 2)
+    surv = np.array([0, 1, 0, 0, 0, 0, 1, 0], np.int32)
+    bs2 = base.score_packed(packed_b, surv)[0]
+    rs2 = ratio.score_packed(packed_r, surv)[0]
+    np.testing.assert_array_equal(rs2, bs2)
+    np.testing.assert_array_equal(bs2, np.where(surv, bs, 0))
+
+
 def test_fast_predicate_equals_general():
     """Packed-constant predicate == general staged predicate on random
     word pairs, for every production zt9 and at the packing gate edge."""
