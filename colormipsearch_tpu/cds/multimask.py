@@ -82,7 +82,15 @@ def _pow2_at_least(n: int, lo: int) -> int:
 
 
 def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
-                 ratio: bool = False):
+                 ratio: bool = False, acc2d: bool = False,
+                 dma_elide: bool = False):
+    # acc2d: accumulate full [8, 128] match tiles per variant and defer
+    # the cross-sublane reduction to the single chunk-final out write
+    # (bit-identical; removes one 8-sublane shuffle-reduce per
+    # (tile, target, variant) from the hot loop).
+    # dma_elide: DIAGNOSTIC ONLY (wrong scores) — issue the window DMA
+    # only at k == 0 so a profile run can measure the DMA-free floor of
+    # the exact phase (attribution for the window-reuse lever).
     win_h = 3 * TILE_H
     win_w = 3 * TILE_W
     n_shifts = len(shifts)
@@ -134,23 +142,24 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
             for c in window_copies(slot, kk):
                 c.wait()
 
-        slot = jax.lax.rem(k, 2)
+        slot = jnp.int32(0) if dma_elide else jax.lax.rem(k, 2)
 
         @pl.when(k == 0)
         def _():
-            acc[...] = jnp.zeros((tb, NV_PAD, TILE_W), dtype=jnp.int32)
+            acc[...] = jnp.zeros(acc.shape, dtype=jnp.int32)
 
         @pl.when(alive & (k == 0))
         def _():
             start_window(0, 0)
 
-        @pl.when(alive & (k + 1 < n_act))
-        def _():
-            start_window(1 - slot, k + 1)
+        if not dma_elide:
+            @pl.when(alive & (k + 1 < n_act))
+            def _():
+                start_window(1 - slot, k + 1)
 
-        @pl.when(alive & (k < n_act))
+        @pl.when(alive & (k == 0 if dma_elide else k < n_act))
         def _():
-            wait_window(slot, k)
+            wait_window(slot, k if not dma_elide else 0)
 
         if ratio:
             C = _ratio_consts(q_ref[0], qf_ref[0])
@@ -161,7 +170,10 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                     rf = rfb[r0:r0 + TILE_H, c0:c0 + TILE_W]
                     fw = fb[r0:r0 + TILE_H, c0:c0 + TILE_W]
                     m = _ratio_match(rf, fw, C).astype(jnp.int32)
-                    acc[g0, base_vi + vi, :] += m.sum(axis=0)
+                    if acc2d:
+                        acc[g0, base_vi + vi] += m
+                    else:
+                        acc[g0, base_vi + vi, :] += m.sum(axis=0)
         else:
             q = _unpack(q_ref[0])
 
@@ -170,7 +182,10 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                     r0, c0 = TILE_H + dy, TILE_W + dx
                     w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
                     m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
-                    acc[g0, base_vi + vi, :] += m.sum(axis=0)
+                    if acc2d:
+                        acc[g0, base_vi + vi] += m
+                    else:
+                        acc[g0, base_vi + vi, :] += m.sum(axis=0)
 
         def target_body(j, _):
             sv = surv[t * tb + j]
@@ -197,7 +212,10 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
 
         @pl.when(k == pl.num_programs(1) - 1)
         def _():
-            out_ref[...] = acc[...]
+            if acc2d:
+                out_ref[...] = acc[...].sum(axis=2)
+            else:
+                out_ref[...] = acc[...]
 
     if ratio:
         def kernel_ratio(gmids, lmids, blk, tgt, surv, coords, k0s, kns,
@@ -212,11 +230,13 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
-                                    "k_grid", "g_bucket", "interpret"))
+                                    "k_grid", "g_bucket", "interpret",
+                                    "acc2d", "dma_elide"))
 def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                     q_stack, t_padded, t_flipped, zt9: int, shifts_tuple,
                     tb: int, n_k: int, k_grid: int, g_bucket: int,
-                    interpret: bool):
+                    interpret: bool, acc2d: bool = False,
+                    dma_elide: bool = False):
     # k_grid: static grid extent of the tile dimension, >= every chunk's
     # kn in this launch. MEASURED (profile_exact_phase, r3): the null-
     # predicate exact-phase floor is ~uniform PER GRID STEP, so dead
@@ -227,7 +247,11 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     n_rows = tgt.shape[0]
     n_chunks = n_rows // tb
     shifts = list(shifts_tuple)
-    kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket)
+    kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
+                                            acc2d=acc2d,
+                                            dma_elide=dma_elide)
+    acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
+                 else (tb, NV_PAD, TILE_W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_chunks, k_grid),
@@ -245,7 +269,7 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                                (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM(acc_shape, jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -263,11 +287,13 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
 
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
-                                    "k_grid", "g_bucket", "interpret"))
+                                    "k_grid", "g_bucket", "interpret",
+                                    "acc2d", "dma_elide"))
 def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                           qc_stack, qf_stack, t_padded, t_flipped, zt9: int,
                           shifts_tuple, tb: int, n_k: int, k_grid: int,
-                          g_bucket: int, interpret: bool):
+                          g_bucket: int, interpret: bool,
+                          acc2d: bool = False, dma_elide: bool = False):
     """Ratio-predicate variant of _multimask_call: the stacked query
     streams as (packed compare constants, f32 bound planes) and the
     kernel gets the shared per-window prep scratch (see
@@ -276,7 +302,10 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     n_chunks = n_rows // tb
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
-                                            ratio=True)
+                                            ratio=True, acc2d=acc2d,
+                                            dma_elide=dma_elide)
+    acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
+                 else (tb, NV_PAD, TILE_W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_chunks, k_grid),
@@ -299,7 +328,7 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                                (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tb, NV_PAD, TILE_W), jnp.int32),
+            pltpu.VMEM(acc_shape, jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((win_h, win_w), jnp.float32),
@@ -321,6 +350,13 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
 # at least this many grid steps (keeps the compiled-variant count low:
 # pow2 values in [K_GRID_MIN, n_k])
 K_GRID_MIN = int(os.environ.get("CMS_MM_KGRID_MIN", "8"))
+
+# deferred-sublane-reduction accumulator (see _make_kernel acc2d);
+# bit-identical — A/B'd via scripts/profile_accdma_ab.py
+_ACC2D = os.environ.get("CMS_ACC2D", "0") == "1"
+# DIAGNOSTIC ONLY (wrong scores): elide window DMAs past k=0 to measure
+# the DMA-free floor of the exact phase
+_DMA_ELIDE = os.environ.get("CMS_DMA_ELIDE", "0") == "1"
 
 
 class _Launch:
@@ -541,12 +577,14 @@ class MultiMaskScorer:
                         out = _multimask_call_ratio(
                             *scalars, q_stack[0], q_stack[1], t_padded,
                             t_flipped, self.zt9, self.shifts, TB, n_k,
-                            la.k_grid, _g_bucket(n_k), self.interpret)
+                            la.k_grid, _g_bucket(n_k), self.interpret,
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE)
                     else:
                         out = _multimask_call(
                             *scalars, q_stack, t_padded, t_flipped,
                             self.zt9, self.shifts, TB, n_k, la.k_grid,
-                            _g_bucket(n_k), self.interpret)
+                            _g_bucket(n_k), self.interpret,
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE)
                 for pos, r0, dest in la.spans:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])

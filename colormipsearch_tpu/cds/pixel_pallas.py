@@ -271,8 +271,11 @@ _F32_PRED = __import__("os").environ.get("CMS_F32_PRED", "1") == "1"
 # decision bounds collapse the staged-rational chain to f32 compares +
 # boolean algebra, and the per-target ratio plane is computed once per
 # WINDOW instead of once per variant. Bit-identical (test_ratio_bounds,
-# test_pixel_pallas ratio crosschecks).
-_RATIO_PRED = __import__("os").environ.get("CMS_RATIO_PRED", "0") == "1"
+# test_pixel_pallas ratio crosschecks) and MEASURED x1.503 on the real
+# chip (scripts/profile_ratio_ab.py, 23.8K vs 15.8K survivor-pairs/s,
+# scores bit-identical on HW) — default ON; set CMS_RATIO_PRED=0 for
+# the f32-product form.
+_RATIO_PRED = __import__("os").environ.get("CMS_RATIO_PRED", "1") == "1"
 
 
 def _ratio_consts(qc, qf):

@@ -101,13 +101,20 @@ def test_multimask_mixed_k_buckets(library):
     # a pure layout property, so padded tiles must not change scores)
     e = engines[1]
     t = e.tiles
+    k0 = t.q_tiles.shape[0]
     q_tiles = np.zeros((768, t.q_tiles.shape[1], t.q_tiles.shape[2]),
                        t.q_tiles.dtype)
-    q_tiles[:t.q_tiles.shape[0]] = t.q_tiles
+    q_tiles[:k0] = t.q_tiles
     coords = np.zeros((768, 3), t.coords.dtype)
-    coords[:t.coords.shape[0]] = t.coords
+    coords[:k0] = t.coords
     coords[:, 2] = max(t.n_active, 1)
     t.q_tiles, t.coords = q_tiles, coords
+    if t.q_cmp is not None:  # ratio-predicate planes pad alongside
+        q_cmp = np.zeros((768,) + t.q_cmp.shape[1:], t.q_cmp.dtype)
+        q_cmp[:k0] = t.q_cmp
+        q_f32 = np.zeros((768,) + t.q_f32.shape[1:], t.q_f32.dtype)
+        q_f32[:k0] = t.q_f32
+        t.q_cmp, t.q_f32 = q_cmp, q_f32
     e._dev_query = {}
 
     packed = engines[0].prepare_targets(targets)
@@ -208,6 +215,30 @@ def test_multimask_ratio_matches_default(library, monkeypatch):
         np.testing.assert_array_equal(gs, ws)
         np.testing.assert_array_equal(gm, wm)
         np.testing.assert_allclose(gr, wr)
+
+
+def test_multimask_acc2d_matches_default(library, monkeypatch):
+    """Deferred-sublane-reduction accumulator (CMS_ACC2D) must be
+    bit-identical, in both predicate modes."""
+    import colormipsearch_tpu.cds.multimask as mmod
+    import colormipsearch_tpu.cds.pixel_pallas as pp
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    for ratio in (False, True):
+        monkeypatch.setattr(pp, "_RATIO_PRED", ratio)
+        engines = _engines(masks[:3])
+        packed = engines[0].prepare_targets(targets)
+        surv = _survivor_matrix(engines, targets)[:3]
+        monkeypatch.setattr(mmod, "_ACC2D", False)
+        want = drain_deferred(mmod.MultiMaskScorer(engines, interpret=True)
+                              .launch_deferred(packed, surv))
+        monkeypatch.setattr(mmod, "_ACC2D", True)
+        got = drain_deferred(mmod.MultiMaskScorer(engines, interpret=True)
+                             .launch_deferred(packed, surv))
+        for (gs, _, gm), (ws, _, wm) in zip(got, want):
+            np.testing.assert_array_equal(gs, ws)
+            np.testing.assert_array_equal(gm, wm)
 
 
 def test_row_ranges_from_words(library):
