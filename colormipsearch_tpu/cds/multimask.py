@@ -352,8 +352,10 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
 K_GRID_MIN = int(os.environ.get("CMS_MM_KGRID_MIN", "8"))
 
 # deferred-sublane-reduction accumulator (see _make_kernel acc2d);
-# bit-identical — A/B'd via scripts/profile_accdma_ab.py
-_ACC2D = os.environ.get("CMS_ACC2D", "0") == "1"
+# bit-identical, MEASURED x1.075 on the real chip
+# (scripts/profile_accdma_ab.py: 22.2K vs 20.7K survivor-pairs/s,
+# scores identical) — default ON
+_ACC2D = os.environ.get("CMS_ACC2D", "1") == "1"
 # DIAGNOSTIC ONLY (wrong scores): elide window DMAs past k=0 to measure
 # the DMA-free floor of the exact phase
 _DMA_ELIDE = os.environ.get("CMS_DMA_ELIDE", "0") == "1"
