@@ -83,7 +83,8 @@ def _pow2_at_least(n: int, lo: int) -> int:
 
 def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                  ratio: bool = False, acc2d: bool = False,
-                 dma_elide: bool = False):
+                 dma_elide: bool = False, livetab: bool = False,
+                 k_grid: int = 0):
     # acc2d: accumulate full [8, 128] match tiles per variant and defer
     # the cross-sublane reduction to the single chunk-final out write
     # (bit-identical; removes one 8-sublane shuffle-reduce per
@@ -107,15 +108,26 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
         # are padded to 512 B per row in SMEM (measured: [2048, 3] int32
         # allocated 1.00 MB — the whole SMEM budget); 1-D packs tight
         lbase = lmids[t] * n_k
-        # per-chunk tile sub-range [k0, k0+kn): tiles whose +-xyShift row
-        # window misses every chunk target's signal rows provably score 0
-        # and are skipped BEFORE their window DMA is issued (the window
-        # signal-skip only fires after paying the copy)
-        base = k0s[t]
+        # per-chunk tile restriction: tiles whose +-xyShift row window
+        # misses every chunk target's signal rows provably score 0 and
+        # are skipped BEFORE their window DMA is issued (the window
+        # signal-skip only fires after paying the copy). Two forms:
+        # - affine: contiguous sub-range [k0, k0+kn) (k0s[t] is the base)
+        # - livetab: k0s is a flat [n_chunks * k_grid] per-chunk list of
+        #   EXACT live tile indices (non-contiguous union of the chunk
+        #   targets' row intervals) — the k-th grid step runs the k-th
+        #   LIVE tile, so hull-internal dead tiles never become steps
         n_act = kns[t]
 
+        if livetab:
+            def tile_of(kk):
+                return k0s[t * k_grid + kk]
+        else:
+            def tile_of(kk):
+                return k0s[t] + kk
+
         def window_copies(slot, kk):
-            ka = jnp.minimum(lbase + base + kk, g_bucket * n_k - 1)
+            ka = jnp.minimum(lbase + tile_of(kk), g_bucket * n_k - 1)
             ty = pl.multiple_of(coords[ka * 3], TILE_H)
             tx = pl.multiple_of(coords[ka * 3 + 1], TILE_W)
             copies = []
@@ -231,12 +243,12 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
                                     "k_grid", "g_bucket", "interpret",
-                                    "acc2d", "dma_elide"))
+                                    "acc2d", "dma_elide", "livetab"))
 def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                     q_stack, t_padded, t_flipped, zt9: int, shifts_tuple,
                     tb: int, n_k: int, k_grid: int, g_bucket: int,
                     interpret: bool, acc2d: bool = False,
-                    dma_elide: bool = False):
+                    dma_elide: bool = False, livetab: bool = False):
     # k_grid: static grid extent of the tile dimension, >= every chunk's
     # kn in this launch. MEASURED (profile_exact_phase, r3): the null-
     # predicate exact-phase floor is ~uniform PER GRID STEP, so dead
@@ -249,17 +261,22 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
                                             acc2d=acc2d,
-                                            dma_elide=dma_elide)
+                                            dma_elide=dma_elide,
+                                            livetab=livetab, k_grid=k_grid)
+    if livetab:
+        def qmap(t, k, gm, lm, b, tg, sv, c, lt, kn):
+            return (gm[t] * n_k + jnp.minimum(lt[t * k_grid + k], n_k - 1),
+                    0, 0)
+    else:
+        def qmap(t, k, gm, lm, b, tg, sv, c, k0, kn):
+            return (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1), 0, 0)
     acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
                  else (tb, NV_PAD, TILE_W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_chunks, k_grid),
         in_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
-                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
-                          0, 0),
+            pl.BlockSpec((1, TILE_H, TILE_W), qmap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -288,12 +305,13 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
                                     "k_grid", "g_bucket", "interpret",
-                                    "acc2d", "dma_elide"))
+                                    "acc2d", "dma_elide", "livetab"))
 def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                           qc_stack, qf_stack, t_padded, t_flipped, zt9: int,
                           shifts_tuple, tb: int, n_k: int, k_grid: int,
                           g_bucket: int, interpret: bool,
-                          acc2d: bool = False, dma_elide: bool = False):
+                          acc2d: bool = False, dma_elide: bool = False,
+                          livetab: bool = False):
     """Ratio-predicate variant of _multimask_call: the stacked query
     streams as (packed compare constants, f32 bound planes) and the
     kernel gets the shared per-window prep scratch (see
@@ -303,7 +321,14 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     shifts = list(shifts_tuple)
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
                                             ratio=True, acc2d=acc2d,
-                                            dma_elide=dma_elide)
+                                            dma_elide=dma_elide,
+                                            livetab=livetab, k_grid=k_grid)
+    if livetab:
+        def qtile(t, k, gm, lm, b, tg, sv, c, lt, kn):
+            return gm[t] * n_k + jnp.minimum(lt[t * k_grid + k], n_k - 1)
+    else:
+        def qtile(t, k, gm, lm, b, tg, sv, c, k0, kn):
+            return gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1)
     acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
                  else (tb, NV_PAD, TILE_W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -311,14 +336,10 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
         grid=(n_chunks, k_grid),
         in_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
-                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
-                          0, 0),
+                         lambda *a: (qtile(*a), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, TILE_H, TILE_W),
-                         lambda t, k, gm, lm, b, tg, sv, c, k0, kn:
-                         (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1),
-                          0, 0, 0),
+                         lambda *a: (qtile(*a), 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -359,11 +380,28 @@ _ACC2D = os.environ.get("CMS_ACC2D", "1") == "1"
 # DIAGNOSTIC ONLY (wrong scores): elide window DMAs past k=0 to measure
 # the DMA-free floor of the exact phase
 _DMA_ELIDE = os.environ.get("CMS_DMA_ELIDE", "0") == "1"
+# per-chunk live-tile table: each chunk's grid iterates its EXACT
+# (non-contiguous) set of live tiles via a flat [n_chunks * k_grid]
+# SMEM indirection, instead of the contiguous hull [k0, k0+kn) —
+# hull-internal dead tiles stop being grid steps. Only for n_k <= 256
+# (the table is nc*k_grid int32; at n_k=768 it would exceed the 1 MB
+# SMEM budget, so big-K buckets keep the affine hull).
+_LIVETAB = os.environ.get("CMS_MM_LIVETAB", "1") == "1"
+_LIVETAB_MAX_K = 256
+# adaptive gate: the table indirection costs x0.83-0.90 vs the affine
+# hull (MEASURED r3, scripts/profile_livetab_ab.py, two HW runs at
+# 100% keep — the SMEM lookups in the q BlockSpec index map + window
+# DMA coords beat Mosaic's affine block prediction), so it engages per
+# K-bucket only when it removes >=30% of steps (net >= x1.19 at the
+# worst measured cost). On the adversarial bench library it never
+# engages (keep ~100%: dense-band survivors overlap the mask windows
+# everywhere); it exists for sparse/regional production libraries.
+_LIVETAB_KEEP = float(os.environ.get("CMS_MM_LIVETAB_KEEP", "0.7"))
 
 
 class _Launch:
     __slots__ = ("gmids", "lmids", "blk", "tgt", "surv", "coords_l",
-                 "k0s", "kns", "k_grid", "spans")
+                 "k0s", "kns", "k_grid", "spans", "ltab")
 
     def __init__(self, n_rows, tb, g_bucket, n_k):
         nc = n_rows // tb
@@ -380,6 +418,7 @@ class _Launch:
         self.k0s = np.zeros(nc, np.int32)
         self.kns = np.ones(nc, np.int32)
         self.k_grid = n_k
+        self.ltab = None  # flat [nc * k_grid] live-tile table (livetab)
         self.spans = []  # (engine_pos, row0, dest_idx np[n_real])
 
 
@@ -467,7 +506,8 @@ class MultiMaskScorer:
 
     def _build_launches(self, n_k: int, survivors: np.ndarray,
                         idxs: List[int],
-                        row_ranges: Optional[np.ndarray] = None
+                        row_ranges: Optional[np.ndarray] = None,
+                        tile_live: Optional[tuple] = None
                         ) -> List[_Launch]:
         g_bucket = _g_bucket(n_k)
         tb = TB
@@ -475,20 +515,45 @@ class MultiMaskScorer:
         # max |dy| the variant slices reach: a tile's sampled target rows
         # are [c0 - s, c0 + TILE_H + s) for window-origin row c0
         s = max((abs(dy) for _, dy in self.shifts), default=0)
-        # chunk list: (engine_pos, dest target indices, k0, kn)
+        livetab = (_LIVETAB and n_k <= _LIVETAB_MAX_K
+                   and (tile_live is not None or row_ranges is not None))
+        # chunk list: (engine_pos, dest target indices, k0, kn_hull, live)
         chunks = []
+        tot_hull = tot_live = 0
         for pos in idxs:
             sidx = np.nonzero(survivors[pos])[0]
             n_act = self.engines[pos].tiles.n_active
-            coords0 = self.engines[pos].tiles.coords[:max(n_act, 1), 0]
+            tiles = self.engines[pos].tiles
+            coords0 = tiles.coords[:max(n_act, 1), 0]
             if row_ranges is not None and len(sidx) > 1:
                 # sort survivors by signal row start so tb-chunks stay
                 # row-coherent (the chunk range is the union of its
                 # targets' ranges)
                 sidx = sidx[np.argsort(row_ranges[sidx, 0], kind="stable")]
+            if livetab:
+                coords1 = tiles.coords[:max(n_act, 1), 1]
+                mirror = getattr(self.engines[pos], "mirror_query", True)
+                if tile_live is not None:
+                    # per-target 3x3-dilated tile-presence bitmaps
+                    # (tile_live_from_words): variant (dx, dy) of the
+                    # tile at origin (cy, cx) samples raw target rows
+                    # [cy+dy, cy+TILE_H+dy), cols [cx+dx, cx+TILE_W+dx)
+                    # with |dy|,|dx| <= s <= TILE_H — entirely inside
+                    # the 3x3 tile neighbourhood of (cy/8, cx/128), so
+                    # a tile whose dilated bitmap entry is 0 for every
+                    # chunk target provably scores 0 (no target signal
+                    # in any sampled pixel, direct or mirrored)
+                    per_t = (tile_live[0] | tile_live[1]) if mirror \
+                        else tile_live[0]  # [T, gh, gw]
+                    ty_i = coords0 // TILE_H
+                    tx_i = coords1 // TILE_W
+                else:
+                    sx = max((abs(dx) for dx, _ in self.shifts), default=0)
+                    w = tiles.width
+                    has_cols = row_ranges.shape[1] >= 4
             for c0 in range(0, len(sidx), tb):
                 dest = sidx[c0:c0 + tb]
-                k0, kn = 0, max(n_act, 1)
+                k0, kn, live = 0, max(n_act, 1), None
                 if row_ranges is not None:
                     tr0 = int(row_ranges[dest, 0].min())
                     tr1 = int(row_ranges[dest, 1].max())
@@ -498,7 +563,50 @@ class MultiMaskScorer:
                     hi = int(np.searchsorted(coords0, tr1 + s, "right"))
                     k0 = min(lo, max(n_act - 1, 0))
                     kn = max(hi - lo, 1)
-                chunks.append((pos, dest, k0, kn))
+                if livetab:
+                    if tile_live is not None:
+                        keep = per_t[dest].any(axis=0)[ty_i, tx_i]
+                    else:
+                        # EXACT union of the per-target row (and, when
+                        # the ranges carry them, column) intervals —
+                        # same proven intervals as the hull, per
+                        # target, but non-contiguous. The mirror window
+                        # samples the x-flipped raw plane
+                        # (f[x] = t[w-1-x], _pad_block), so its raw-col
+                        # interval is the reflection of the target's
+                        # about (w-1)/2.
+                        keep = np.zeros(len(coords0), bool)
+                        for rr in row_ranges[dest]:
+                            rt0, rt1 = int(rr[0]), int(rr[1])
+                            kt = ((coords0 >= rt0 - TILE_H - s + 1)
+                                  & (coords0 <= rt1 + s))
+                            if has_cols:
+                                tc0, tc1 = int(rr[2]), int(rr[3])
+                                cok = ((coords1 >= tc0 - TILE_W - sx + 1)
+                                       & (coords1 <= tc1 + sx))
+                                if mirror:
+                                    mc0, mc1 = w - 1 - tc1, w - 1 - tc0
+                                    cok |= ((coords1 >= mc0 - TILE_W
+                                             - sx + 1)
+                                            & (coords1 <= mc1 + sx))
+                                kt &= cok
+                            keep |= kt
+                    live = np.nonzero(keep)[0].astype(np.int32)
+                    if len(live) == 0:
+                        live = np.zeros(1, np.int32)
+                tot_hull += kn
+                tot_live += len(live) if live is not None else kn
+                chunks.append((pos, dest, k0, kn, live))
+        if livetab:
+            if tot_live > _LIVETAB_KEEP * tot_hull:
+                # not enough pruning to pay the ~10% indirection cost —
+                # fall back to the affine hull for this K-bucket
+                chunks = [(p, d, k0, kn, None)
+                          for (p, d, k0, kn, _) in chunks]
+                livetab = False
+            else:
+                chunks = [(p, d, k0, len(liv), liv)
+                          for (p, d, k0, _, liv) in chunks]
         # group chunks by live tile count so each launch compiles at the
         # smallest sufficient k-grid (dead grid steps cost like real
         # ones — see _multimask_call); stable sort keeps each mask's
@@ -514,7 +622,7 @@ class MultiMaskScorer:
             kg = _pow2_at_least(chunks[i][3], K_GRID_MIN)
             j = i
             while j < len(chunks) and j - i < max_chunks:
-                pos, _, _, kn_j = chunks[j]
+                pos, _, _, kn_j, _ = chunks[j]
                 if _pow2_at_least(kn_j, K_GRID_MIN) != kg:
                     break
                 if pos not in masks_here:
@@ -526,13 +634,19 @@ class MultiMaskScorer:
                 if (j - i) * tb < ROWS else ROWS
             la = _Launch(n_rows, tb, g_bucket, n_k)
             la.k_grid = min(kg, n_k)
-            for ci, (pos, dest, k0, kn) in enumerate(chunks[i:j]):
+            if livetab:
+                la.ltab = np.zeros((n_rows // tb) * la.k_grid, np.int32)
+            for ci, (pos, dest, k0, kn, live) in enumerate(chunks[i:j]):
                 lm = masks_here.index(pos)
                 la.gmids[ci] = self._gpos[pos]
                 la.lmids[ci] = lm
                 la.blk[ci] = 1
                 la.k0s[ci] = k0
                 la.kns[ci] = kn
+                if livetab:
+                    kgl = la.k_grid
+                    la.ltab[ci * kgl:ci * kgl + kn] = live
+                    la.ltab[ci * kgl + kn:(ci + 1) * kgl] = live[-1]
                 r0 = ci * tb
                 n_real = len(dest)
                 la.tgt[r0:r0 + n_real] = dest
@@ -549,7 +663,8 @@ class MultiMaskScorer:
 
     def launch_deferred(self, packed, survivors: np.ndarray,
                         device=None,
-                        row_ranges: Optional[np.ndarray] = None
+                        row_ranges: Optional[np.ndarray] = None,
+                        tile_live: Optional[tuple] = None
                         ) -> List[DeferredScore]:
         """Queue the exact sweep for ALL masks over one packed target
         block; returns one DeferredScore per engine (drain with
@@ -557,36 +672,47 @@ class MultiMaskScorer:
         once).
 
         row_ranges: optional int32 [T, 2] (first, last) signal rows per
-        target (see row_ranges_from_words). When given, each chunk's
-        grid is restricted to the mask tiles whose sampled row window
+        target (see row_ranges_from_words; signal_ranges_from_words
+        adds col extents as [T, 4]). When given, each chunk's grid is
+        restricted to the mask tiles whose sampled row window
         intersects the chunk targets' signal rows — bit-identical
         scores (skipped tiles provably contribute 0), fewer window DMAs
-        and grid steps for spatially-localized targets."""
+        and grid steps for spatially-localized targets.
+
+        tile_live: optional (direct, mirrored) 3x3-dilated tile-presence
+        bitmaps (tile_live_from_words) — the finest exact skip: with
+        CMS_MM_LIVETAB the per-chunk grid iterates only tiles whose
+        window samples some chunk target's signal (non-contiguous,
+        via a flat SMEM indirection), gated adaptively per K-bucket
+        on the measured step reduction (see _LIVETAB_KEEP)."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
         surv_np = np.asarray(survivors).astype(np.int32)
         pendings = [[] for _ in self.engines]
         for n_k, idxs in self.buckets.items():
             q_stack = self._q_for(n_k, device)
-            for la in self._build_launches(n_k, surv_np, idxs, row_ranges):
+            for la in self._build_launches(n_k, surv_np, idxs, row_ranges,
+                                           tile_live=tile_live):
+                lt = la.ltab is not None
                 with _dev_ctx(device):
                     scalars = (jnp.asarray(la.gmids), jnp.asarray(la.lmids),
                                jnp.asarray(la.blk), jnp.asarray(la.tgt),
                                jnp.asarray(la.surv),
                                jnp.asarray(la.coords_l.reshape(-1)),
-                               jnp.asarray(la.k0s), jnp.asarray(la.kns))
+                               jnp.asarray(la.ltab if lt else la.k0s),
+                               jnp.asarray(la.kns))
                     if self.ratio:
                         out = _multimask_call_ratio(
                             *scalars, q_stack[0], q_stack[1], t_padded,
                             t_flipped, self.zt9, self.shifts, TB, n_k,
                             la.k_grid, _g_bucket(n_k), self.interpret,
-                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE)
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt)
                     else:
                         out = _multimask_call(
                             *scalars, q_stack, t_padded, t_flipped,
                             self.zt9, self.shifts, TB, n_k, la.k_grid,
                             _g_bucket(n_k), self.interpret,
-                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE)
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt)
                 for pos, r0, dest in la.spans:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])
@@ -594,18 +720,70 @@ class MultiMaskScorer:
 
 
 @jax.jit
-def _sel_any_row(words):
-    return ((words >> 19) & 1).max(axis=2)  # [T, H]
+def _sel_any_rowcol(words):
+    sel = (words >> 19) & 1
+    return sel.max(axis=2), sel.max(axis=1)  # [T, H], [T, W]
+
+
+def _first_last(flags: np.ndarray) -> np.ndarray:
+    n = flags.shape[1]
+    any_f = flags.any(axis=1)
+    first = np.where(any_f, flags.argmax(axis=1), 0).astype(np.int32)
+    last = np.where(any_f, n - 1 - flags[:, ::-1].argmax(axis=1),
+                    -1).astype(np.int32)
+    return np.stack([first, last], axis=1)
 
 
 def row_ranges_from_words(words) -> np.ndarray:
     """int32 [T, 2] (first, last) above-threshold signal row per packed
     target frame; (0, -1) for empty targets. One tiny device reduction +
     one [T, H] bool pull — negligible next to the pack itself."""
-    rows = np.asarray(_sel_any_row(words)) > 0  # [T, H] host
-    tsz, h = rows.shape
-    any_r = rows.any(axis=1)
-    first = np.where(any_r, rows.argmax(axis=1), 0).astype(np.int32)
-    last = np.where(any_r, h - 1 - rows[:, ::-1].argmax(axis=1),
-                    -1).astype(np.int32)
-    return np.stack([first, last], axis=1)
+    rows = np.asarray(_sel_any_rowcol(words)[0]) > 0  # [T, H] host
+    return _first_last(rows)
+
+
+def signal_ranges_from_words(words) -> np.ndarray:
+    """int32 [T, 4] (first_row, last_row, first_col, last_col) signal
+    extents per packed target frame (raw-frame coordinates); rows
+    (0, -1) for empty targets. The live-tile table uses the col extent
+    (direct + mirrored) on top of the row interval — the hull
+    restriction reads only the first two columns either way."""
+    r, c = _sel_any_rowcol(words)
+    return np.concatenate([_first_last(np.asarray(r) > 0),
+                           _first_last(np.asarray(c) > 0)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("gh", "gw"))
+def _tile_live_dev(words, gh: int, gw: int):
+    tsz, h, w = words.shape
+    sel = ((words >> 19) & 1) > 0  # [T, H, W]
+
+    def pool_dilate(sflip):
+        p = jnp.pad(sflip, ((0, 0), (0, gh * TILE_H - h),
+                            (0, gw * TILE_W - w)))
+        t = p.reshape(tsz, gh, TILE_H, gw, TILE_W).any(axis=(2, 4))
+        t = jnp.pad(t, ((0, 0), (1, 1), (1, 1)))
+        t = t[:, :-2] | t[:, 1:-1] | t[:, 2:]
+        return t[:, :, :-2] | t[:, :, 1:-1] | t[:, :, 2:]
+
+    # the mirror flip happens on the RAW w-wide plane (_pad_block), so
+    # flip BEFORE the tile-alignment padding
+    return pool_dilate(sel), pool_dilate(sel[:, :, ::-1])
+
+
+def tile_live_from_words(words) -> tuple:
+    """Per-target 3x3-dilated tile-presence bitmaps, (direct, mirrored),
+    each np.bool_ [T, gh, gw] over the mask tile grid.
+
+    Entry [j, ty, tx] answers: does target j (resp. its x-flip) have
+    ANY above-threshold signal in the 3x3 tile neighbourhood that the
+    24x384 window at tile (ty, tx) samples? The multi-mask kernel's
+    window signal-skip (any_d/any_m) evaluates exactly this test on
+    the device AFTER paying the window DMA and the grid step — the
+    bitmap lets the live-tile table apply it host-side BEFORE either.
+    One tiny device reduction + a [T, gh, gw] x2 bool pull."""
+    tsz, h, w = words.shape
+    gh = -(-h // TILE_H)
+    gw = -(-w // TILE_W)
+    d, m = _tile_live_dev(words, gh, gw)
+    return np.asarray(d), np.asarray(m)

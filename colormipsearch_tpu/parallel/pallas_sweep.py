@@ -121,9 +121,12 @@ class TwoPhaseSweep:
                 survivors = (bounds > self.thresholds[:, None]).astype(
                     np.int32)
                 n_screened += int((survivors == 0).sum())
+            tile_live = None
             if self._mm is not None:
-                from ..cds.multimask import row_ranges_from_words
-                row_ranges = row_ranges_from_words(words)
+                from ..cds.multimask import (signal_ranges_from_words,
+                                             tile_live_from_words)
+                row_ranges = signal_ranges_from_words(words)
+                tile_live = tile_live_from_words(words)
             del words
             stage["pack+screen"] = stage.get("pack+screen", 0.0) \
                 + time.perf_counter() - t0
@@ -131,7 +134,8 @@ class TwoPhaseSweep:
             if self._mm is not None and survivors is not None:
                 defs = self._mm.launch_deferred(packed, survivors,
                                                 device=dev,
-                                                row_ranges=row_ranges)
+                                                row_ranges=row_ranges,
+                                                tile_live=tile_live)
             else:
                 defs = [
                     eng.score_packed_deferred(

@@ -1,0 +1,146 @@
+"""A/B the per-chunk live-tile table (CMS_MM_LIVETAB) vs the contiguous
+hull row-range restriction on the real chip, in ONE process
+(shared-chip protocol: back-to-back, best-of-N each).
+
+The livetab replaces each chunk's contiguous tile range [k0, k0+kn)
+with its EXACT (non-contiguous) union of per-target row intervals via
+a flat SMEM indirection — hull-internal dead tiles stop being grid
+steps entirely (the null-predicate floor is ~uniform PER GRID STEP, so
+only removing steps pays; @pl.when skips do not).
+
+Asserts scores BIT-IDENTICAL on real hardware (Mosaic accepts things
+the interpreter rejects — CLAUDE.md invariant) and reports both rates
+plus the measured step-count reduction.
+
+Run on TPU:  python scripts/profile_livetab_ab.py [B] [T]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.imageproc import (Image, ImageKind, load_image,
+                                              label_regions_mask)
+    from colormipsearch_tpu.cds.pixel_pallas import (ActiveTilePixelEngine,
+                                                     drain_deferred)
+    from colormipsearch_tpu.cds.prescreen import PairPrescreen
+    from colormipsearch_tpu.cds.pixel_kernel import z_tolerance_to_zt9
+    import colormipsearch_tpu.cds.multimask as mmod
+    from colormipsearch_tpu.cds.multimask import (MultiMaskScorer,
+                                                  row_ranges_from_words,
+                                                  tile_live_from_words)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    fx = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures", "cdsearch")
+    ems = sorted(os.listdir(os.path.join(fx, "ems")))
+    lms = sorted(os.listdir(os.path.join(fx, "lms")))
+    em_px = [load_image(os.path.join(fx, "ems", n)).pixels for n in ems]
+    lm_px = [load_image(os.path.join(fx, "lms", n)).pixels for n in lms]
+    h, w = em_px[0].shape[:2]
+    excluded = label_regions_mask(h, w)
+
+    def roll(px, i):
+        if i == 0:
+            return px
+        return np.roll(px, ((37 * i) % h, (151 * i) % w), axis=(0, 1))
+
+    def band(px, i):
+        if i == 0:
+            return px
+        bh = 160
+        b0 = (53 * i) % (h - bh)
+        out = np.zeros_like(px)
+        out[b0:b0 + bh] = px[b0:b0 + bh]
+        return out
+
+    t0 = time.time()
+    engines = []
+    for i in range(B):
+        px = roll(em_px[i % len(em_px)], i // len(em_px))
+        img = Image(kind=ImageKind.RGB, pixels=px)
+        engines.append(ActiveTilePixelEngine(img, 20, True, 20, 1.0, 2,
+                                             excluded))
+    targets = np.stack([band(roll(lm_px[i % len(lm_px)], i // len(lm_px)), i)
+                        for i in range(T)])
+    print(f"built {B} engines in {time.time()-t0:.0f}s", flush=True)
+
+    screen = PairPrescreen(z_tolerance_to_zt9(1.0), 2, h, w)
+    u = jnp.asarray(np.stack([screen.query_features(e.planes.words)
+                              for e in engines]))
+    thr = np.maximum(0.01 * np.array([e.tiles.query_size for e in engines]),
+                     0.5)
+
+    t0 = time.time()
+    words = engines[0].pack_raw_words(targets)
+    packed = engines[0].pad_from_words(words)
+    bounds = screen.bounds_from_words(u, words)
+    survivors = (bounds > thr[:, None]).astype(np.int32)
+    jax.block_until_ready(packed)
+    n_surv = int(survivors.sum())
+    print(f"pack+screen {time.time()-t0:.0f}s; survivors "
+          f"{n_surv}/{B*T} = {n_surv/(B*T):.2%}", flush=True)
+
+    ranges = row_ranges_from_words(words)
+    tlive = tile_live_from_words(words)
+    mm = MultiMaskScorer(engines)
+
+    def steps(mm_, tl):
+        tot = 0
+        for n_k, idxs in mm_.buckets.items():
+            for la in mm_._build_launches(n_k, survivors, idxs, ranges,
+                                          tile_live=tl):
+                tot += int(la.kns[la.blk > 0].sum())
+        return tot
+
+    def run_exact(label, tl):
+        t0 = time.time()
+        res = drain_deferred(mm.launch_deferred(packed, survivors,
+                                                row_ranges=ranges,
+                                                tile_live=tl))
+        print(f"[{label}] compile+first run {time.time()-t0:.0f}s",
+              flush=True)
+        scores = np.stack([np.asarray(r[0]) for r in res])
+        best = 0.0
+        for r in range(4):
+            t0 = time.time()
+            drain_deferred(mm.launch_deferred(packed, survivors,
+                                              row_ranges=ranges,
+                                              tile_live=tl))
+            dt = time.time() - t0
+            best = max(best, n_surv / dt)
+            print(f"[{label}] round {dt:.2f}s  {n_surv/dt:,.0f} "
+                  f"survivor-pairs/s", flush=True)
+        return best, scores
+
+    mmod._LIVETAB = False
+    st_hull = steps(mm, None)
+    rate_hull, scores_hull = run_exact("hull", None)
+
+    mmod._LIVETAB = True
+    mmod._LIVETAB_KEEP = 2.0  # force the table so its cost is measured
+    st_live = steps(mm, tlive)
+    print(f"live chunk-steps {st_live:,} vs hull {st_hull:,} "
+          f"(keep {st_live/max(st_hull,1):.1%})", flush=True)
+    rate_live, scores_live = run_exact("livetab", tlive)
+
+    np.testing.assert_array_equal(scores_hull, scores_live)
+    print("scores BIT-IDENTICAL hull vs livetab on real HW: OK", flush=True)
+    print(f"\nhull restriction:  {rate_hull:,.0f} survivor-pairs/s")
+    print(f"live-tile table:   {rate_live:,.0f} survivor-pairs/s")
+    print(f"livetab/hull speedup: x{rate_live/max(rate_hull,1e-9):.3f}")
+    if 439 in scores_hull:
+        print("golden 439 present: OK")
+
+
+if __name__ == "__main__":
+    main()

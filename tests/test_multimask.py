@@ -191,6 +191,64 @@ def test_multimask_row_range_restriction(library):
         np.testing.assert_array_equal(gm, wm)
 
 
+@pytest.mark.parametrize("mirror", [True, False])
+@pytest.mark.parametrize("mode", ["rows", "cols", "bitmap"])
+def test_multimask_livetab_matches_hull(library, monkeypatch, mirror, mode):
+    """Per-chunk live-tile table (CMS_MM_LIVETAB): the non-contiguous
+    exact live sets — union of per-target row intervals ("rows"), row x
+    column intervals with the mirrored reflection ("cols"), or the
+    3x3-dilated tile-presence bitmaps ("bitmap") — must score
+    bit-identically to the contiguous hull restriction, the
+    unrestricted launch, and the per-mask reference path."""
+    import colormipsearch_tpu.cds.multimask as mmod
+    from colormipsearch_tpu.cds.multimask import (MultiMaskScorer,
+                                                  row_ranges_from_words,
+                                                  signal_ranges_from_words,
+                                                  tile_live_from_words)
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    # stripes at scattered rows AND columns (incl. the frame edges) so
+    # chunk unions are non-contiguous and boundary formulas are hit
+    banded = np.zeros_like(targets)
+    h, w = targets.shape[1:3]
+    for i in range(targets.shape[0]):
+        b0 = (13 * i) % (h - 10)
+        c0 = (41 * i) % (w - 24) if i % 4 else (0 if i % 8 else w - 24)
+        banded[i, b0:b0 + 10, c0:c0 + 24] = targets[i, b0:b0 + 10,
+                                                    c0:c0 + 24]
+
+    engines = _engines(masks, mirror=mirror)
+    words = engines[0].pack_raw_words(banded)
+    packed = engines[0].pad_from_words(words)
+    rr = signal_ranges_from_words(words) if mode == "cols" \
+        else row_ranges_from_words(words)
+    tl = tile_live_from_words(words) if mode == "bitmap" else None
+    surv = _survivor_matrix(engines, banded)
+
+    mm = MultiMaskScorer(engines, interpret=True)
+    want_hull = drain_deferred(mm.launch_deferred(packed, surv,
+                                                  row_ranges=rr))
+    monkeypatch.setattr(mmod, "_LIVETAB", True)
+    monkeypatch.setattr(mmod, "_LIVETAB_KEEP", 2.0)  # always use the table
+    got = drain_deferred(mm.launch_deferred(packed, surv, row_ranges=rr,
+                                            tile_live=tl))
+    # the table must actually have been used
+    la = mm._build_launches(next(iter(mm.buckets)), surv.astype(np.int32),
+                            mm.buckets[next(iter(mm.buckets))],
+                            row_ranges=rr, tile_live=tl)[0]
+    assert la.ltab is not None
+    for (gs, gr, gm), (ws, wr, wm) in zip(got, want_hull):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+    want2 = drain_deferred([
+        e.score_packed_deferred(packed, survivors=surv[i])
+        for i, e in enumerate(engines)])
+    for (gs, _, gm), (ws, _, wm) in zip(got, want2):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
+
+
 def test_multimask_ratio_matches_default(library, monkeypatch):
     """Ratio-predicate multimask launch (CMS_RATIO_PRED) must score
     bit-identically to the default-predicate multimask AND per-mask
