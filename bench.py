@@ -368,11 +368,12 @@ def _bench_twophase():
         "projected_pairs_per_s_v5p16": round(best * 2.3 * 16, 0),
         "north_star_pairs_per_s": 69000.0,  # 40k x 100k pairs < 1h / 16
     }
-    return {
+    out = {
         "metric": (f"two-phase exact CDS pairs/s/chip ({B} masks x {T} "
                    "targets, prod config xyShift2+mirror+1% cut, MXU "
                    "prescreen + multi-mask exact kernel on compacted "
-                   "survivors)"),
+                   "survivors; value = ADVERSARIAL library, "
+                   "value_realistic = regional-crop library)"),
         "value": round(best, 1),
         "unit": "pairs/s",
         "vs_baseline": round(best / REFERENCE_NODE_PAIRS_PER_S, 3),
@@ -381,6 +382,14 @@ def _bench_twophase():
         # kernels, so it is NOT pure host pack cost (see ROADMAP)
         "detail": detail,
     }
+    # both headline libraries as TOP-LEVEL value fields (VERDICT r3 #9:
+    # the adversarial and realistic numbers travel together)
+    if "realistic" in detail:
+        out["value_realistic"] = detail["realistic"]["rate_pairs_per_s"]
+        out["vs_baseline_realistic"] = round(
+            detail["realistic"]["rate_pairs_per_s"]
+            / REFERENCE_NODE_PAIRS_PER_S, 3)
+    return out
 
 
 def _run_twophase_library(kind: str, B: int, T: int, rounds: int):
