@@ -235,6 +235,19 @@ def build_transformers(args):
     if getattr(args, "published_lm_stacks", None):
         from .dataexport import load_published_lm_stacks
         lm_stacks = load_published_lm_stacks(args.published_lm_stacks)
+    # store-backed published data (PublishedURLsDao/PublishedLMImageDao,
+    # DaosProvider.java:82-88): a DB-configured export reads the
+    # publishedURL / publishedLMImage stores directly; explicit JSON
+    # file args take precedence (the offline fallback)
+    if getattr(args, "db", None):
+        from .backends import get_store
+        store = get_store(args.db)
+        if urls is None and hasattr(store, "load_published_urls"):
+            stored = store.load_published_urls()
+            urls = stored or None
+        if lm_stacks is None and hasattr(store, "load_published_lm_stacks"):
+            stored = store.load_published_lm_stacks()
+            lm_stacks = stored or None
     return url_t, store_m, urls, lm_stacks
 
 

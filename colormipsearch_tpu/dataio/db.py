@@ -66,6 +66,22 @@ CREATE TABLE IF NOT EXISTS ppp_matches (
     rank REAL, doc TEXT NOT NULL,
     UNIQUE(em_name, lm_name));
 CREATE INDEX IF NOT EXISTS idx_ppp_em ON ppp_matches(em_name);
+
+-- published-data stores (PublishedURLsDao / PublishedLMImageDao wired
+-- at dao/DaosProvider.java:82-88; store names "publishedURL" /
+-- "publishedLMImage" via @PersistenceInfo). Populated by external
+-- publishing pipelines in the reference; exports read them when the
+-- run has a DB (files remain the offline fallback).
+CREATE TABLE IF NOT EXISTS published_urls (
+    neuron_id TEXT PRIMARY KEY, doc TEXT NOT NULL);
+
+CREATE TABLE IF NOT EXISTS published_lm_images (
+    row_id INTEGER PRIMARY KEY AUTOINCREMENT,
+    sample_ref TEXT, slide_code TEXT, objective TEXT,
+    alignment_space TEXT, doc TEXT NOT NULL,
+    UNIQUE(sample_ref, slide_code, objective, alignment_space));
+CREATE INDEX IF NOT EXISTS idx_pli_sample ON published_lm_images(sample_ref);
+CREATE INDEX IF NOT EXISTS idx_pli_slide ON published_lm_images(slide_code);
 """
 
 
@@ -234,6 +250,94 @@ class SqliteStore:
                 "SELECT doc FROM ppp_matches WHERE em_name = ? "
                 "ORDER BY rank", (em_name,)).fetchall()
         return [PPPMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+
+    # --- published-data DAOs (PublishedURLsDao / PublishedLMImageDao,
+    # dao/DaosProvider.java:82-88). Doc shapes match the JSON-file
+    # fallback (cmd/dataexport.py load_published_urls /
+    # load_published_lm_stacks) so either source feeds the export. ---
+
+    def upsert_published_urls(self, docs: Sequence[dict]) -> int:
+        """docs: [{"_id"|"id": neuronId, "uploaded": {key: url}}]
+        (NeuronPublishedURLs.java:9-15, keyed by neuron entity id)."""
+        n = 0
+        with self._lock:
+            for d in docs:
+                nid = d.get("_id", d.get("id"))
+                if nid is None:
+                    continue
+                self._conn.execute(
+                    "INSERT INTO published_urls VALUES (?,?) "
+                    "ON CONFLICT(neuron_id) DO UPDATE SET doc=excluded.doc",
+                    (str(nid), json.dumps(d)))
+                n += 1
+            self._conn.commit()
+        return n
+
+    def load_published_urls(self) -> dict:
+        """neuronId -> uploaded-URL map for every stored record."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT neuron_id, doc FROM published_urls").fetchall()
+        return {nid: (json.loads(doc).get("uploaded") or {})
+                for nid, doc in rows}
+
+    def upsert_published_lm_images(self, docs: Sequence[dict]) -> int:
+        """docs carry PublishedLMImageFields (sampleRef, slideCode,
+        objective, alignmentSpace, files, gal4...; PublishedLMImage
+        .java:12-41); natural-keyed on the identifying quadruple."""
+        n = 0
+        with self._lock:
+            for d in docs:
+                self._conn.execute(
+                    "INSERT INTO published_lm_images "
+                    "(sample_ref, slide_code, objective, alignment_space,"
+                    " doc) VALUES (?,?,?,?,?) "
+                    "ON CONFLICT(sample_ref, slide_code, objective, "
+                    "alignment_space) DO UPDATE SET doc=excluded.doc",
+                    (d.get("sampleRef"), d.get("slideCode") or d.get("id"),
+                     d.get("objective"), d.get("alignmentSpace"),
+                     json.dumps(d)))
+                n += 1
+            self._conn.commit()
+        return n
+
+    def find_published_lm_images(self, sample_refs=None, slide_codes=None,
+                                 alignment_space=None, objective=None
+                                 ) -> List[dict]:
+        """getPublishedImages-style selector
+        (dao/PublishedLMImageDao.java:11-47): optional alignmentSpace /
+        objective filters over indexed sampleRef/slideCode lookups."""
+        clauses, params = [], []
+        if sample_refs:
+            refs = list(sample_refs)
+            clauses.append("sample_ref IN (%s)" % ",".join("?" * len(refs)))
+            params.extend(refs)
+        if slide_codes:
+            codes = list(slide_codes)
+            clauses.append("slide_code IN (%s)" % ",".join("?" * len(codes)))
+            params.extend(codes)
+        if alignment_space:
+            clauses.append("alignment_space = ?")
+            params.append(alignment_space)
+        if objective:
+            clauses.append("objective = ?")
+            params.append(objective)
+        sql = "SELECT doc FROM published_lm_images"
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        with self._lock:
+            rows = self._conn.execute(sql, params).fetchall()
+        return [json.loads(r[0]) for r in rows]
+
+    def load_published_lm_stacks(self) -> dict:
+        """slideCode -> files map (the export consumption shape,
+        ColorDepthMIP.updateLMNeuron:220-221)."""
+        out = {}
+        for d in self.find_published_lm_images():
+            key = d.get("slideCode") or d.get("id")
+            if key is not None:
+                out[str(key)] = d.get("files") or {}
+        return out
 
     # --- matches DAO ---
 

@@ -98,6 +98,10 @@ class MongoStore:
         self.matches = self._db["cdMatches"]
         self.sessions = self._db["matchSessions"]
         self.ppp_matches = self._db["pppMatches"]
+        # published-data collections (@PersistenceInfo store names,
+        # NeuronPublishedURLs.java:9 / PublishedLMImage.java:12)
+        self.published_urls = self._db["publishedURL"]
+        self.published_lm_images = self._db["publishedLMImage"]
         self.id_generator = TimebasedIdGenerator()
         for key in ("mipId", "libraryName", "publishedName"):
             try:
@@ -227,6 +231,71 @@ class MongoStore:
             d = dict(d)
             d.pop("_id", None)
             out.append(PPPMatchEntity.from_dict(d))
+        return out
+
+    # --- published-data DAOs (PublishedURLsDao / PublishedLMImageDao,
+    # dao/DaosProvider.java:82-88) ---
+
+    def upsert_published_urls(self, docs: Sequence[dict]) -> int:
+        n = 0
+        for d in docs:
+            nid = d.get("_id", d.get("id"))
+            if nid is None:
+                continue
+            doc = dict(d)
+            doc["_id"] = nid
+            self.published_urls.replace_one({"_id": nid}, doc, upsert=True)
+            n += 1
+        return n
+
+    def load_published_urls(self) -> dict:
+        return {str(d["_id"]): (d.get("uploaded") or {})
+                for d in self.published_urls.find({}) if "_id" in d}
+
+    def upsert_published_lm_images(self, docs: Sequence[dict]) -> int:
+        n = 0
+        for d in docs:
+            key = {"sampleRef": d.get("sampleRef"),
+                   "slideCode": d.get("slideCode") or d.get("id"),
+                   "objective": d.get("objective"),
+                   "alignmentSpace": d.get("alignmentSpace")}
+            doc = dict(d)
+            doc.update({k: v for k, v in key.items() if v is not None})
+            # natural-key upsert with an explicit _id (replace docs keep
+            # the existing _id; inserts mint one — stays inside the
+            # certified find/replace_one fake surface)
+            existing = next(iter(self.published_lm_images.find(key)), None)
+            doc["_id"] = (existing["_id"] if existing is not None
+                          else self.id_generator.generate_id())
+            self.published_lm_images.replace_one(key, doc, upsert=True)
+            n += 1
+        return n
+
+    def find_published_lm_images(self, sample_refs=None, slide_codes=None,
+                                 alignment_space=None, objective=None
+                                 ) -> List[dict]:
+        query = {}
+        if sample_refs:
+            query["sampleRef"] = {"$in": list(sample_refs)}
+        if slide_codes:
+            query["slideCode"] = {"$in": list(slide_codes)}
+        if alignment_space:
+            query["alignmentSpace"] = alignment_space
+        if objective:
+            query["objective"] = objective
+        out = []
+        for d in self.published_lm_images.find(query):
+            d = dict(d)
+            d.pop("_id", None)
+            out.append(d)
+        return out
+
+    def load_published_lm_stacks(self) -> dict:
+        out = {}
+        for d in self.find_published_lm_images():
+            key = d.get("slideCode") or d.get("id")
+            if key is not None:
+                out[str(key)] = d.get("files") or {}
         return out
 
     # --- matches DAO ---

@@ -53,3 +53,8 @@ def test_real_mongo_roundtrip_and_upsert(real_store):
 def test_real_mongo_neuron_selectors(real_store):
     from test_db_mongo import run_neuron_selectors
     run_neuron_selectors(real_store)
+
+
+def test_real_mongo_published_stores(real_store):
+    from test_published_stores import _roundtrip_published
+    _roundtrip_published(real_store)

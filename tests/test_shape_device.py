@@ -1,0 +1,151 @@
+"""Device-resident target-plane builder vs the host oracle.
+
+The device path (cds/shape_device.py) must be bit-identical to
+shape_oracle.build_target_shape_planes in every mode: precomputed-zgap
+files, on-the-fly 10px zgap dilation, RGB vs gray gradient images, with
+and without label-region exclusion. Plus the exact-integer gray
+conversion proof and the dilation geometry parity.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+from colormipsearch_tpu.imageproc.io import Image, ImageKind
+from colormipsearch_tpu.imageproc.filters import max_filter_rgb
+from colormipsearch_tpu.imageproc import colors
+from colormipsearch_tpu.cds import shape_device
+from colormipsearch_tpu.cds.lut import slice_plane
+from colormipsearch_tpu.cds.shape_oracle import build_target_shape_planes
+
+LM_VT033614 = "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01"
+LM_BJD = ("BJD_127B01_AE_01-20171124_64_H6-40x-Brain-JRC2018_Unisex_20x_"
+          "HR-2483089192251293794-CH2-01_CDM")
+
+
+def test_gray_no_gamma_exact_exhaustive():
+    """floor((2(r+g+b)+3)/6) == the reference's double expression for
+    EVERY u8 triple (sum-exhaustive: the double expr depends on the
+    channel values; cover all 256^2 (r, g) x sampled b plus all sums)."""
+    r = np.arange(256).repeat(256)
+    g = np.tile(np.arange(256), 256)
+    for b in (0, 1, 2, 3, 84, 85, 86, 127, 128, 170, 200, 254, 255):
+        rgb = np.stack([r, g, np.full_like(r, b)], axis=1).reshape(256, 256, 3)
+        host = colors.rgb_to_gray_no_gamma(rgb.astype(np.uint8))
+        s = rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]
+        np.testing.assert_array_equal((2 * s + 3) // 6, host)
+
+
+def test_device_slice_plane_random():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(64, 257, 3), dtype=np.uint8)
+    # include exact ties and saturated rows (classification branch edges)
+    rgb[0] = rgb[0, 0] = 200
+    rgb[1, :, 0] = rgb[1, :, 1]
+    dev = np.asarray(shape_device.slice_plane_device(rgb))
+    np.testing.assert_array_equal(dev, slice_plane(rgb))
+
+
+@pytest.mark.parametrize("radius", [1.5, 2.5, 3.0, 10.0])
+def test_device_dilation_matches_host(radius):
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, size=(2, 40, 53, 3), dtype=np.uint8)
+    x[:, :, ::7] = 0  # sparse structure
+    dev = np.asarray(shape_device._dilate_rgb(x, radius))
+    for t in range(x.shape[0]):
+        np.testing.assert_array_equal(dev[t], max_filter_rgb(x[t], radius))
+
+
+def _fixture_images(fixtures_dir):
+    cdm = load_image(fixtures_dir / "lms" / f"{LM_BJD}.tif")
+    grad = load_image(fixtures_dir / "grad" / f"{LM_BJD}.png")
+    zgap = load_image(fixtures_dir / "zgap" / f"{LM_BJD}.tif")
+    return cdm, grad, zgap
+
+
+@pytest.mark.parametrize("mode", ["file", "otf"])
+@pytest.mark.parametrize("use_excluded", [True, False])
+def test_device_planes_match_oracle(fixtures_dir, mode, use_excluded):
+    cdm, grad, zgap = _fixture_images(fixtures_dir)
+    excluded = (label_regions_mask(cdm.height, cdm.width)
+                if use_excluded else None)
+    zgap_img = zgap if mode == "file" else None
+    host = build_target_shape_planes(cdm, grad, zgap_img, 20, excluded)
+
+    grad_is_rgb = grad.kind == ImageKind.RGB
+    grad_raw = (grad.pixels if grad_is_rgb
+                else grad.pixels.astype(np.uint16))
+    import jax.numpy as jnp
+    t_above, g, z_nonzero, z_slice = shape_device.build_target_planes_device(
+        cdm.pixels[None], grad_raw[None],
+        zgap.pixels[None] if mode == "file" else None,
+        jnp.asarray(excluded) if excluded is not None else None,
+        thr=20, zgap_mode=mode, grad_is_rgb=grad_is_rgb)
+    np.testing.assert_array_equal(np.asarray(t_above[0]), host.t_above)
+    np.testing.assert_array_equal(np.asarray(g[0]), host.grad)
+    np.testing.assert_array_equal(np.asarray(z_nonzero[0]), host.z_nonzero)
+    np.testing.assert_array_equal(np.asarray(z_slice[0]), host.z_slice)
+
+
+def test_device_planes_rgb_gradient():
+    """RGB gradient images go through the exact-integer gray path."""
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    cdm = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    grad_rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    host = build_target_shape_planes(
+        Image(ImageKind.RGB, cdm), Image(ImageKind.RGB, grad_rgb),
+        None, 20, None)
+    _, g, _, _ = shape_device.build_target_planes_device(
+        cdm[None], grad_rgb[None], None, None,
+        thr=20, zgap_mode="otf", grad_is_rgb=True)
+    np.testing.assert_array_equal(np.asarray(g[0]), host.grad)
+
+
+def test_prefetch_device_equals_host_path(fixtures_dir, tmp_path,
+                                          monkeypatch):
+    """The command-level prefetch produces identical scores through the
+    device-plane path and the host fallback (CMS_DEVICE_PLANES=0)."""
+    from colormipsearch_tpu.cmd import gradientscores_cmd as gc
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    from colormipsearch_tpu.mips import MIPsCache
+    from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
+                                          EMNeuronEntity, FileData,
+                                          LMNeuronEntity)
+
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(query.height, query.width)
+    qplanes = build_query_shape_planes(query, excluded)
+    args = argparse.Namespace(maskThreshold=20, mirrorMask=True,
+                              computeZGapOnTheFly=True, targetsPerBatch=4,
+                              queryROIMaskName=None, planes_threads=2)
+    em = EMNeuronEntity(entity_id=1, mip_id="em-1")
+    matches = []
+    lms = [LM_VT033614, LM_BJD]
+    for i, lm_name in enumerate(lms):
+        lm = LMNeuronEntity(entity_id=100 + i, mip_id=f"lm-{i}")
+        lm.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(str(fixtures_dir / "lms" / f"{lm_name}.tif"))
+        lm.compute_files[ComputeFileType.GradientImage] = \
+            FileData.from_string(str(fixtures_dir / "grad" / f"{lm_name}.png"))
+        m = CDMatchEntity()
+        m.mask_image, m.matched_image = em, lm
+        matches.append(m)
+
+    def run():
+        cache = MIPsCache(16)
+        scored = gc._score_batch(list(matches), qplanes, cache, args,
+                                 excluded, {})
+        return [(m.gradient_area_gap, m.high_expression_area)
+                for m in scored]
+
+    monkeypatch.setenv("CMS_DEVICE_PLANES", "1")
+    dev = run()
+    monkeypatch.setenv("CMS_DEVICE_PLANES", "0")
+    host = run()
+    assert dev == host
+    # golden anchor (Shape2DMatchColorDepthSearchAlgorithmTest values)
+    assert dev[0] == (21365, 731)
