@@ -32,6 +32,26 @@ from .args import add_cds_params, add_common_args, excluded_regions_for, ListArg
 
 LOG = logging.getLogger(__name__)
 
+_FLUSH_COUNT = 0
+
+
+def _test_kill_hook() -> None:
+    """Fault injection for the kill-and-resume end-to-end test
+    (tests/test_kill_resume.py): SIGKILL this process after the Nth
+    incremental flush when CMS_TEST_KILL_AFTER_FLUSHES is set —
+    emulates an LSF array job dying mid-partition, the failure mode the
+    reference recovers from by resubmitting the same block offsets
+    (submitCDSBatch.sh:14-25, ColorDepthSearchCmd.java:316-335)."""
+    import os as _os
+    n = _os.environ.get("CMS_TEST_KILL_AFTER_FLUSHES")
+    if not n:
+        return
+    global _FLUSH_COUNT
+    _FLUSH_COUNT += 1
+    if _FLUSH_COUNT >= int(n):
+        import signal
+        _os.kill(_os.getpid(), signal.SIGKILL)
+
 
 def add_parser(subparsers) -> None:
     p = subparsers.add_parser(
@@ -484,6 +504,7 @@ def run(args: argparse.Namespace) -> int:
             from .backends import matches_writer
             matches_writer(args.db, None, update_scores_only=args.update_matches).write(all_matches[flushed:])
             flushed = len(all_matches)
+            _test_kill_hook()
 
     stage_totals = {"decode": 0.0, "pack": 0.0, "score": 0.0, "collect": 0.0}
 
