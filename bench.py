@@ -142,7 +142,8 @@ def _bench_gradients():
         qplanes = build_query_shape_planes(query, excluded)
         args = argparse.Namespace(
             maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=True,
-            targetsPerBatch=16, queryROIMaskName=None)
+            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "16")),
+            queryROIMaskName=None)
         best = 0.0
         for rep in range(3):
             cache = MIPsCache(64)   # cold decode every rep (end-to-end)
@@ -284,7 +285,8 @@ def _bench_gradients_production():
         qplanes = build_query_shape_planes(query, excluded)
         args = argparse.Namespace(
             maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=False,
-            targetsPerBatch=16, queryROIMaskName=None, planes_threads=0)
+            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "16")),
+            queryROIMaskName=None, planes_threads=0)
         cache = MIPsCache(4096)
         planes_cache = {}
 

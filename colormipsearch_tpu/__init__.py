@@ -14,4 +14,4 @@ The compute layer is dense and batch-first: images are fixed-size
 mask x target pair grid is block-partitioned over a jax.sharding.Mesh.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

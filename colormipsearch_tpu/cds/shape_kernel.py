@@ -75,6 +75,33 @@ def shape_score_kernel(q_nonzero, q_slice, q_mask, high_expr,
     return gaps_id, high_id, gaps_m, high_m
 
 
+@functools.partial(jax.jit, static_argnames=("r0", "r1", "mirror"))
+def shape_score_stacked(q_nonzero, q_slice, q_mask, high_expr,
+                        t_above_list, grad_list, znz_list, zsl_list,
+                        *, r0: int, r1: int, mirror: bool):
+    """ONE device dispatch per batch: stack per-target planes, crop to
+    the query's active row band, score.
+
+    The naive path (host-side jnp.stack of cached per-target crops +
+    kernel call) issues ~6 ops per target per batch; on the tunneled
+    dev chip per-dispatch latency made that the measured warm-path
+    bottleneck (~15 ms/target). Here the stack/crop/score pipeline is
+    a single XLA program: per-target planes come in as a pytree of
+    [H, W] device arrays and everything after is fused. Compile count
+    is bounded by (batch size, 64-row crop bucket, mirror) — the same
+    static space the kernel already had."""
+    q_nonzero = q_nonzero[r0:r1]
+    q_slice = q_slice[r0:r1]
+    q_mask = q_mask[r0:r1]
+    high_expr = high_expr[r0:r1]
+    grad = jnp.stack(grad_list)[:, r0:r1]
+    znz = jnp.stack(znz_list)[:, r0:r1]
+    zsl = jnp.stack(zsl_list)[:, r0:r1]
+    tab = jnp.stack(t_above_list)[:, r0:r1]
+    return shape_score_kernel(q_nonzero, q_slice, q_mask, high_expr,
+                              grad, znz, zsl, tab, mirror=mirror)
+
+
 def finish_shape_scores(gaps_id, high_id, gaps_m, high_m, mirror: bool):
     """Host-side final reduction and orientation choice
     (Shape2DMatchColorDepthSearchAlgorithm.java:171-185: keep the mirrored

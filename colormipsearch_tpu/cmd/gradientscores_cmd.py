@@ -446,6 +446,21 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
     return planes
 
 
+def _qplanes_device(qp):
+    """Upload a mask's query planes once (cached on the dataclass); the
+    fused batch kernel reuses them across every batch of the mask."""
+    dev = getattr(qp, "_dev", None)
+    if dev is None:
+        import jax.numpy as jnp
+        import numpy as np
+        dev = (jnp.asarray(qp.q_nonzero),
+               jnp.asarray(qp.q_slice.astype(np.int32)),
+               jnp.asarray(qp.q_mask.astype(np.int32)),
+               jnp.asarray(qp.high_expr.astype(bool)))
+        qp._dev = dev
+    return dev
+
+
 def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
                  planes_cache: dict, qplanes_m=None):
     """Batched shape scoring for one mask's matches. qplanes_m carries
@@ -494,20 +509,26 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     n_real = len(tplanes)
     while len(tplanes) < args.targetsPerBatch:
         tplanes.append(tplanes[-1])
-    # stack/crop on DEVICE: the cached planes already live in HBM
-    grad = jnp.stack([t.grad[r0:r1] for t in tplanes])
-    znz = jnp.stack([t.z_nonzero[r0:r1] for t in tplanes])
-    zsl = jnp.stack([t.z_slice[r0:r1] for t in tplanes])
-    tab = jnp.stack([t.t_above[r0:r1] for t in tplanes])
     if qplanes_m is None:
-        out = shape_score_kernel(qplanes.q_nonzero[r0:r1],
-                                 qplanes.q_slice[r0:r1],
-                                 qplanes.q_mask[r0:r1],
-                                 qplanes.high_expr[r0:r1],
-                                 grad, znz, zsl, tab, mirror=args.mirrorMask)
+        # fused stack+crop+score: ONE dispatch per batch (per-dispatch
+        # tunnel latency made the multi-op stack the measured warm-path
+        # bottleneck; see shape_score_stacked)
+        from ..cds.shape_kernel import shape_score_stacked
+        qd = _qplanes_device(qplanes)
+        out = shape_score_stacked(*qd,
+                                  [t.t_above for t in tplanes],
+                                  [t.grad for t in tplanes],
+                                  [t.z_nonzero for t in tplanes],
+                                  [t.z_slice for t in tplanes],
+                                  r0=r0, r1=r1, mirror=args.mirrorMask)
         gaps, high, score, use_m = finish_shape_scores(
             *out, mirror=args.mirrorMask)
     else:
+        # ROI-mask path (rare): explicit stacked planes, two passes
+        grad = jnp.stack([t.grad[r0:r1] for t in tplanes])
+        znz = jnp.stack([t.z_nonzero[r0:r1] for t in tplanes])
+        zsl = jnp.stack([t.z_slice[r0:r1] for t in tplanes])
+        tab = jnp.stack([t.t_above[r0:r1] for t in tplanes])
         # exact ROI semantics: two identity-orientation passes, the
         # second with mirrored-query planes and flipped z planes
         def one_pass(qp_, g_, znz_, zsl_, tab_):
