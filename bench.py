@@ -142,7 +142,7 @@ def _bench_gradients():
         qplanes = build_query_shape_planes(query, excluded)
         args = argparse.Namespace(
             maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=True,
-            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "16")),
+            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "128")),
             queryROIMaskName=None)
         best = 0.0
         for rep in range(3):
@@ -285,7 +285,7 @@ def _bench_gradients_production():
         qplanes = build_query_shape_planes(query, excluded)
         args = argparse.Namespace(
             maskThreshold=20, mirrorMask=True, computeZGapOnTheFly=False,
-            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "16")),
+            targetsPerBatch=int(os.environ.get("CMS_GRAD_BATCH", "128")),
             queryROIMaskName=None, planes_threads=0)
         cache = MIPsCache(4096)
         planes_cache = {}

@@ -42,8 +42,13 @@ def add_parser(subparsers) -> None:
     p.add_argument("--nBestLines", type=int, default=-1)
     p.add_argument("--nBestSamplesPerLine", type=int, default=-1)
     p.add_argument("--nBestMatchesPerSample", type=int, default=-1)
-    p.add_argument("--targetsPerBatch", type=int, default=16,
-                   help="targets scored per device step")
+    p.add_argument("--targetsPerBatch", type=int, default=128,
+                   help="max targets scored per device step (batches "
+                        "pad to pow2-ish buckets, so partial batches "
+                        "cost their bucket, not the max; bigger batches "
+                        "amortize per-dispatch latency — measured 16->"
+                        "128 took the warm rate 139->969 matches/s on "
+                        "the tunneled dev chip)")
     p.add_argument("--planes-threads", type=int, default=0,
                    help="host threads building target planes "
                         "(decode + zgap dilation + plane algebra; "
@@ -307,7 +312,7 @@ def _planes_block_size() -> int:
     global _PLANES_BLOCK
     if _PLANES_BLOCK is None:
         import os
-        _PLANES_BLOCK = max(1, int(os.environ.get("CMS_PLANES_BLOCK", "8")))
+        _PLANES_BLOCK = max(1, int(os.environ.get("CMS_PLANES_BLOCK", "16")))
     return _PLANES_BLOCK
 
 
@@ -504,10 +509,15 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
         # crop must cover the active rows of BOTH orientations
         m0, m1 = qplanes_m.active_row_range()
         r0, r1 = min(r0, m0), max(r1, m1)
-    # pad the batch to the fixed batch size so the jitted kernel sees one
-    # static T shape (the last partial batch would otherwise recompile)
+    # pad the batch to a pow2-ish BUCKET size so the jitted kernel sees
+    # few static T shapes (a full batch pads to targetsPerBatch; the
+    # final partial batch pads only to its bucket, not the max)
     n_real = len(tplanes)
-    while len(tplanes) < args.targetsPerBatch:
+    bucket = next((b for b in (16, 32, 64, 128, 256, 512)
+                   if n_real <= b <= args.targetsPerBatch),
+                  args.targetsPerBatch)
+    bucket = max(bucket, min(n_real, args.targetsPerBatch))
+    while len(tplanes) < bucket:
         tplanes.append(tplanes[-1])
     if qplanes_m is None:
         # fused stack+crop+score: ONE dispatch per batch (per-dispatch

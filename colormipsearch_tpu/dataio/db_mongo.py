@@ -75,6 +75,107 @@ def _op_classes():
 _BULK_CHUNK = 1000
 
 
+def selector_pushdown_clauses(prefix: str, p) -> list:
+    """Translate a DataSourceParam into server-side Mongo clauses over
+    the DENORMALIZED neuron doc embedded in each match (written at
+    upsert time: to_dict embeds maskImage/image).
+
+    This is the reference's NeuronSelectionHelper pushdown
+    (dao/mongo/AbstractNeuronMatchesMongoDao.java:117+ with $lookup
+    joins); since the needed attrs are already on the match docs, plain
+    find-operators suffice — no aggregation pipeline. EVERY
+    DataSourceParam field translates (the semantics mirror
+    DataSourceParam.matches_entity 1:1), so no host re-filter runs on
+    pushed reads."""
+    if p is None:
+        return []
+    from ..model.enums import ProcessingType
+    c = []
+
+    def f(name):
+        return f"{prefix}.{name}"
+
+    if p.alignment_space:
+        c.append({f("alignmentSpace"): p.alignment_space})
+    if p.libraries:
+        c.append({f("libraryName"): {"$in": list(p.libraries)}})
+    if p.mip_ids:
+        c.append({f("mipId"): {"$in": list(p.mip_ids)}})
+    if p.names:
+        c.append({f("publishedName"): {"$in": list(p.names)}})
+    if p.valid_name_only:
+        # publishedName present, non-empty and not "No Consensus"
+        c.append({f("publishedName"):
+                  {"$nin": [None, "", p.NO_CONSENSUS]}})
+    if p.entity_ids:
+        c.append({f("id"): {"$in": [str(i) for i in p.entity_ids]}})
+    if p.source_ref_ids:
+        c.append({f("sourceRefId"): {"$in": sorted(p.source_ref_ids)}})
+    if p.neuron_class:
+        c.append({f("class"):
+                  f"org.janelia.colormipsearch.model.{p.neuron_class}"})
+    if p.datasets:
+        # any-overlap: $in on an array field matches any element
+        c.append({f("datasetLabels"): {"$in": sorted(p.datasets)}})
+    # tag semantics: ANY wanted tag in (tags U all processedTags values)
+    tag_fields = [f("tags")] + [f(f"processedTags.{pt.name}")
+                                for pt in ProcessingType]
+    if p.tags:
+        c.append({"$or": [{tf: {"$in": sorted(p.tags)}}
+                          for tf in tag_fields]})
+    if p.excluded_tags:
+        c.append({"$nor": [{tf: {"$in": sorted(p.excluded_tags)}}
+                           for tf in tag_fields]})
+    if p.annotations:
+        c.append({f("neuronTerms"): {"$in": sorted(p.annotations)}})
+    if p.excluded_annotations:
+        c.append({"$nor": [{f("neuronTerms"):
+                            {"$in": sorted(p.excluded_annotations)}}]})
+    for stage, wanted in (p.processing_tags or {}).items():
+        if wanted:
+            c.append({f(f"processedTags.{stage}"):
+                      {"$all": sorted(wanted)}})
+    return c
+
+
+_SCORE_DOC_FIELDS = {
+    "matchingPixels": "matchingPixels",
+    "matchingRatio": "matchingPixelsRatio",
+    "matchingPixelsRatio": "matchingPixelsRatio",
+    "gradientAreaGap": "gradientAreaGap",
+    "bidirectionalAreaGap": "bidirectionalAreaGap",
+    "highExpressionArea": "highExpressionArea",
+    "normalizedScore": "normalizedScore",
+}
+
+
+def scores_pushdown_clauses(sf) -> list:
+    """ScoresFilter -> server-side clauses (ScoresFilter.matches
+    semantics: per selector, OR over '|'-joined fields >= min; the -1
+    sentinel means every field absent or -1 —
+    NeuronSelectionHelper.addNeuronsMatchScoresFilters,
+    dao/mongo/NeuronSelectionHelper.java:146-157). In Mongo, null in a
+    $in list matches missing fields, which is exactly the 'absent'
+    arm."""
+    if sf is None or sf.empty:
+        return []
+    c = []
+    for field_name, min_score in sf.selectors:
+        fields = [_SCORE_DOC_FIELDS.get(x) for x in field_name.split("|")
+                  if x and _SCORE_DOC_FIELDS.get(x)]
+        if not fields:
+            continue
+        if min_score == -1:
+            for doc_f in fields:
+                c.append({doc_f: {"$in": [None, -1]}})
+        elif len(fields) == 1:
+            c.append({fields[0]: {"$gte": min_score}})
+        else:
+            c.append({"$or": [{doc_f: {"$gte": min_score}}
+                              for doc_f in fields]})
+    return c
+
+
 class MongoStore:
     """Mongo-backed store with the SqliteStore surface (db.py).
 
@@ -378,10 +479,15 @@ class MongoStore:
         self._bulk(self.matches, ops)
         return len(ops)
 
-    def find_matches_by_mask_refs(self, mask_refs: Sequence[int]
+    def find_matches_by_mask_refs(self, mask_refs: Sequence[int],
+                                  target_selector=None, scores_filter=None
                                   ) -> List[CDMatchEntity]:
-        docs = list(self.matches.find(
-            {"maskImageRefId": {"$in": list(mask_refs)}}))
+        query = {"maskImageRefId": {"$in": list(mask_refs)}}
+        clauses = selector_pushdown_clauses("image", target_selector) \
+            + scores_pushdown_clauses(scores_filter)
+        if clauses:
+            query = {"$and": [query] + clauses}
+        docs = list(self.matches.find(query))
         docs.sort(key=lambda d: -(d.get("matchingPixels") or 0))
         out = []
         for d in docs:
@@ -416,10 +522,15 @@ class MongoStore:
                 mips.add(d["mipId"])
         return sorted(mips)
 
-    def find_matches_by_matched_refs(self, matched_refs: Sequence[int]
+    def find_matches_by_matched_refs(self, matched_refs: Sequence[int],
+                                     mask_selector=None, scores_filter=None
                                      ) -> List[CDMatchEntity]:
-        docs = list(self.matches.find(
-            {"matchedImageRefId": {"$in": list(matched_refs)}}))
+        query = {"matchedImageRefId": {"$in": list(matched_refs)}}
+        clauses = selector_pushdown_clauses("maskImage", mask_selector) \
+            + scores_pushdown_clauses(scores_filter)
+        if clauses:
+            query = {"$and": [query] + clauses}
+        docs = list(self.matches.find(query))
         docs.sort(key=lambda d: -(d.get("matchingPixels") or 0))
         out = []
         for d in docs:

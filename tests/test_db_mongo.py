@@ -22,20 +22,70 @@ FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "cdsmatches" / "testcdsma
 
 # --- minimal pymongo-compatible fake -----------------------------------
 
+def _resolve_path(doc, path):
+    """Dotted-path lookup with Mongo array semantics: resolving through
+    a list fans out over its elements."""
+    vals = [doc]
+    for part in path.split("."):
+        nxt = []
+        for v in vals:
+            if isinstance(v, dict):
+                nxt.append(v.get(part))
+        vals = nxt
+    return vals
+
+
+def _field_matches(vals, cond):
+    """Mongo field-condition semantics on the resolved value(s): a
+    condition on an array field matches if ANY element matches; null in
+    a $in list matches a missing field."""
+    def each(pred):
+        for v in vals:
+            if isinstance(v, list):
+                if any(pred(x) for x in v):
+                    return True
+            elif pred(v):
+                return True
+        return False
+
+    if isinstance(cond, dict) and any(str(k).startswith("$")
+                                      for k in cond):
+        for op, arg in cond.items():
+            if op == "$in":
+                if not each(lambda v: v in arg):
+                    return False
+            elif op == "$nin":
+                if each(lambda v: v in arg):
+                    return False
+            elif op == "$lt":
+                if not each(lambda v: v is not None and v < arg):
+                    return False
+            elif op == "$gte":
+                if not each(lambda v: v is not None and v >= arg):
+                    return False
+            elif op == "$all":
+                flat = [x for v in vals
+                        for x in (v if isinstance(v, list) else [v])]
+                if not all(a in flat for a in arg):
+                    return False
+            else:
+                raise NotImplementedError(op)
+        return True
+    return each(lambda v: v == cond)
+
+
 def _matches_filter(doc, query):
     for key, cond in query.items():
-        val = doc.get(key)
-        if isinstance(cond, dict):
-            for op, arg in cond.items():
-                if op == "$in":
-                    if val not in arg:
-                        return False
-                elif op == "$lt":
-                    if val is None or not val < arg:
-                        return False
-                else:
-                    raise NotImplementedError(op)
-        elif val != cond:
+        if key == "$and":
+            if not all(_matches_filter(doc, q) for q in cond):
+                return False
+        elif key == "$or":
+            if not any(_matches_filter(doc, q) for q in cond):
+                return False
+        elif key == "$nor":
+            if any(_matches_filter(doc, q) for q in cond):
+                return False
+        elif not _field_matches(_resolve_path(doc, key), cond):
             return False
     return True
 
@@ -44,11 +94,13 @@ class _FakeCollection:
     def __init__(self):
         self.docs = {}
         self.op_log = []  # ("replace_one" | "update_one" | ("bulk_write", n))
+        self.find_log = []  # queries passed to find()
 
     def create_index(self, key):
         pass
 
     def find(self, query=None):
+        self.find_log.append(query or {})
         return [dict(d) for d in self.docs.values()
                 if _matches_filter(d, query or {})]
 
