@@ -53,7 +53,9 @@ def add_parser(subparsers) -> None:
     p.add_argument("--mips-file", "--input", "-i", dest="mips_file",
                    required=True)
     p.add_argument("--target-folder", "--targetDirectory",
-                   dest="target_folder", required=True)
+                   dest="target_folder", default=None,
+                   help="destination store root (falls back to -od, "
+                        "CopyToMIPsStore.java getOutputDir:98-106)")
     p.add_argument("--mipsFilter", nargs="*", default=[],
                    help="restrict to these published names / mip IDs")
     p.add_argument("--surjective-variants-mapping", nargs="*", default=[],
@@ -155,13 +157,26 @@ def _read_file_data(fd: FileData):
 
 
 def run(args: argparse.Namespace) -> int:
-    reader = JSONCDMIPsReader(args.mips_file)
-    entities = reader.read_mips(DataSourceParam())
-    flt = {s.lower() for s in (args.mipsFilter or [])}
+    if not args.target_folder:
+        args.target_folder = args.output_dir
+    if not args.target_folder:
+        LOG.error("--target-folder or -od required")
+        return 1
+    # -i accepts the reference's '<path>:<offset>:<length>' ListArg form
+    # (CopyToMIPsStore.java:68-70, readMIPs :174-183)
+    from .args import ListArg
+    la = ListArg.parse(args.mips_file)
+    reader = JSONCDMIPsReader(la.input)
+    entities = reader.read_mips(DataSourceParam(offset=la.offset,
+                                                size=la.length))
+    # filter: lowercase publishedName match OR exact mipId match
+    # (CopyToMIPsStore.java:178-180)
+    flt_raw = set(args.mipsFilter or [])
+    flt = {s.lower() for s in flt_raw}
     if flt:
         entities = [e for e in entities
                     if (e.published_name or "").lower() in flt
-                    or (e.mip_id or "") in flt]
+                    or (e.mip_id or "") in flt_raw]
     mapping = dict(_DEFAULT_MAPPING)
     if args.surjective_variants_mapping:
         mapping = {}
@@ -192,6 +207,20 @@ def run(args: argparse.Namespace) -> int:
                 continue  # .distinct() — variants may repeat across MIPs
             seen.add((fd.file_name, fd.entry_name, dest))
             if args.simulate:
+                # simulateCopyFileData (CopyToMIPsStore.java:329-343):
+                # missing source is an ERROR (counted only with -f),
+                # existing destination a WARNING (never counted)
+                from ..mips.loader import filedata_exists
+                if not filedata_exists(fd):
+                    LOG.error("cp %s %s => ERROR: source not found",
+                              fd.name_component, dest)
+                    if args.force:
+                        n += 1
+                    continue
+                if os.path.exists(dest):
+                    LOG.warning("cp %s %s => WARNING: destination exists",
+                                fd.name_component, dest)
+                    continue
                 LOG.info("cp %s %s", fd.name_component, dest)
                 n += 1
                 continue

@@ -75,7 +75,20 @@ def run(args: argparse.Namespace) -> int:
 
     if args.db:
         from .backends import get_store
+        from ..dataio.base import AppendField, RemoveField
         store = get_store(args.db)
+
+        def push_tags(changed):
+            # server-side tag updates via field handlers ($addToSet /
+            # $pullAll on Mongo) instead of whole-doc replace — the
+            # reference's TagNeuronMetadataCmd path
+            # (MongoDaoHelper.java:259-287)
+            upd = ({"tags": RemoveField(sorted(set(args.tag)))}
+                   if args.remove
+                   else {"tags": AppendField(sorted(set(args.tag)))})
+            for e in changed:
+                store.update_entity_fields("neurons", e.entity_id,
+                                           dict(upd))
         # if the applied tag feeds back into the selection (adding a tag
         # listed in --excluded-tags, or removing one listed in --tags),
         # paging over a mutating result set would skip entities at page
@@ -90,7 +103,7 @@ def run(args: argparse.Namespace) -> int:
                     DataSourceParam(entity_ids=set(ids[i:i + _PAGE])))
                 changed = [e for e in batch if apply(e)]
                 if changed:
-                    store.upsert_neurons(changed)
+                    push_tags(changed)
                 n += len(changed)
             LOG.info("%s %d entities",
                      "untagged" if args.remove else "tagged", n)
@@ -109,7 +122,7 @@ def run(args: argparse.Namespace) -> int:
                 break
             changed = [e for e in batch if apply(e)]
             if changed:
-                store.upsert_neurons(changed)
+                push_tags(changed)
             n += len(changed)
             if len(batch) < _PAGE:
                 break

@@ -26,6 +26,7 @@ import logging
 import os
 
 from ..dataio import DataSourceParam, JSONCDMIPsReader
+from ..mips.loader import filedata_exists
 from ..model import ComputeFileType
 
 LOG = logging.getLogger(__name__)
@@ -112,9 +113,11 @@ def _validate_entity(e, args, jacs_mips) -> list:
         if fd is None:
             errors.append(f"Missing attribute for file type {cft.name}")
         elif args.check_file_existence and fd.file_name and \
-                not os.path.exists(fd.file_name):
+                not filedata_exists(fd):
+            # zip-entry aware (NeuronMIPUtils.exists,
+            # ValidateNBDBDataCmd.java:326-337)
             errors.append(
-                f"Compute file type {cft.name}:{fd.file_name} was not found")
+                f"Compute file type {cft.name}:{fd.name} was not found")
     return errors
 
 
@@ -163,22 +166,17 @@ def _iter_entity_pages(args, store):
 
 
 def _tag_matches_of(store, entities, tag, by_mask: bool, by_target: bool):
+    """Server-side bulk tagging of a bad neuron's matches — ONE
+    update_many with $addToSet on Mongo, no match docs cross the wire
+    (NeuronMatchesDao.updateAll, ValidateNBDBDataCmd.java:355-369)."""
+    from ..dataio.base import AppendField
     refs = [e.entity_id for e in entities if e.entity_id is not None]
     if not refs:
         return 0
-    n = 0
-    matched = []
-    if by_mask:
-        matched += store.find_matches_by_mask_refs(refs)
-    if by_target:
-        matched += store.find_matches_by_matched_refs(refs)
-    for m in matched:
-        if tag not in m.tags:
-            m.tags.add(tag)
-            n += 1
-    if matched:
-        store.upsert_matches(matched)
-    return n
+    return store.update_matches_fields_by_refs(
+        mask_refs=refs if by_mask else None,
+        matched_refs=refs if by_target else None,
+        updates={"tags": AppendField({tag})})
 
 
 def run(args: argparse.Namespace) -> int:
@@ -216,7 +214,24 @@ def run(args: argparse.Namespace) -> int:
                 corrected.append(e)
                 changed.append(e)
         if store is not None and changed:
-            store.upsert_neurons(changed)
+            # field-handler updates, never whole-doc replaces: errors
+            # $addToSet validationErrors (+ error tag), corrections
+            # $unset validationErrors (processValidationReport,
+            # ValidateNBDBDataCmd.java:343-354; NB the reference also
+            # addToSets the error tag onto CORRECTED entities — a
+            # copy-paste slip we deliberately do not replicate)
+            from ..dataio.base import AppendField, UnsetField
+            for e in changed:
+                if e.entity_id is None:
+                    continue
+                if e.validation_errors:
+                    upd = {"validationErrors":
+                           AppendField(sorted(e.validation_errors))}
+                    if args.error_tag:
+                        upd["tags"] = AppendField({args.error_tag})
+                else:
+                    upd = {"validationErrors": UnsetField()}
+                store.update_entity_fields("neurons", e.entity_id, upd)
 
     if store is not None and args.error_tag and failing:
         n = _tag_matches_of(store, failing, args.error_tag,

@@ -288,6 +288,82 @@ class SqliteStore:
                 "ORDER BY rank", (em_name,)).fetchall()
         return [PPPMatchEntity.from_dict(json.loads(r[0])) for r in rows]
 
+    # --- field-update handlers (Set/Append/Remove/Inc/SetOnCreate,
+    # dao/AbstractMongoDao.update + MongoDaoHelper.java:255-295) ---
+
+    _NEURON_COLS = (("mip_id", "mipId"), ("alignment_space", "alignmentSpace"),
+                    ("library_name", "libraryName"),
+                    ("published_name", "publishedName"))
+    _MATCH_COLS = (("matching_pixels", "matchingPixels"),
+                   ("matching_pixels_ratio", "matchingPixelsRatio"),
+                   ("normalized_score", "normalizedScore"),
+                   ("gradient_area_gap", "gradientAreaGap"),
+                   ("high_expression_area", "highExpressionArea"),
+                   ("bidirectional_area_gap", "bidirectionalAreaGap"))
+
+    def update_entity_fields(self, kind: str, entity_id: int,
+                             updates: dict) -> bool:
+        """Apply field-update handlers server-side (no read-modify-write
+        round trip through entity objects). kind: "neurons"|"matches".
+        Returns False when the row is absent and no set_on_create
+        handler asks for creation."""
+        from .base import apply_field_updates
+        table = {"neurons": "neuron_metadata",
+                 "matches": "cd_matches"}[kind]
+        cols = self._NEURON_COLS if kind == "neurons" else self._MATCH_COLS
+        with self._lock:
+            row = self._conn.execute(
+                f"SELECT doc FROM {table} WHERE entity_id = ?",
+                (entity_id,)).fetchone()
+            created = row is None
+            if created and not any(u.op == "set_on_create"
+                                   for u in updates.values()):
+                return False
+            doc = json.loads(row[0]) if row else {"id": str(entity_id)}
+            apply_field_updates(doc, updates, created)
+            col_sets = ", ".join(f"{c} = ?" for c, _ in cols)
+            vals = [doc.get(k) for _, k in cols]
+            if created:
+                if kind == "matches":
+                    # matches need mask/matched refs; field-handler
+                    # creation is a neuron-side flow in the reference
+                    return False
+                self._conn.execute(
+                    f"INSERT INTO {table} (entity_id, "
+                    + ", ".join(c for c, _ in cols)
+                    + ", doc) VALUES (?" + ",?" * len(cols) + ",?)",
+                    [entity_id] + vals + [json.dumps(doc)])
+            else:
+                self._conn.execute(
+                    f"UPDATE {table} SET {col_sets}, doc = ? "
+                    "WHERE entity_id = ?",
+                    vals + [json.dumps(doc), entity_id])
+            self._conn.commit()
+        return True
+
+    def update_matches_fields_by_refs(self, mask_refs=None,
+                                      matched_refs=None,
+                                      updates: dict = None) -> int:
+        """Bulk match field updates by mask/target refs (the Mongo
+        store does this with one server-side update_many; here indexed
+        id selection + per-row handler application)."""
+        if not updates:
+            return 0
+        ids = set()
+        with self._lock:
+            if mask_refs:
+                qs = ",".join("?" * len(mask_refs))
+                ids.update(r[0] for r in self._conn.execute(
+                    f"SELECT entity_id FROM cd_matches WHERE mask_ref "
+                    f"IN ({qs})", list(mask_refs)))
+            if matched_refs:
+                qs = ",".join("?" * len(matched_refs))
+                ids.update(r[0] for r in self._conn.execute(
+                    f"SELECT entity_id FROM cd_matches WHERE matched_ref "
+                    f"IN ({qs})", list(matched_refs)))
+        return sum(1 for i in sorted(ids)
+                   if self.update_entity_fields("matches", i, updates))
+
     # --- published-data DAOs (PublishedURLsDao / PublishedLMImageDao,
     # dao/DaosProvider.java:82-88). Doc shapes match the JSON-file
     # fallback (cmd/dataexport.py load_published_urls /

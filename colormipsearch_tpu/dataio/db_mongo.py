@@ -334,6 +334,81 @@ class MongoStore:
             out.append(PPPMatchEntity.from_dict(d))
         return out
 
+    # --- field-update handlers (MongoDaoHelper.java:255-295) ---
+
+    @staticmethod
+    def _translate_field_updates(updates: dict, allow_upsert: bool):
+        """Handler -> native update-operator translation: set->$set,
+        unset->$unset, append->$addToSet/$push (+$each),
+        remove->$pull/$pullAll, inc->$inc,
+        set_on_create->$setOnInsert (with upsert)."""
+        mongo_update: dict = {}
+        upsert = False
+        for field, u in updates.items():
+            if u.op == "set":
+                mongo_update.setdefault("$set", {})[field] = u.value
+            elif u.op == "unset":
+                mongo_update.setdefault("$unset", {})[field] = ""
+            elif u.op == "set_on_create":
+                mongo_update.setdefault("$setOnInsert", {})[field] = u.value
+                upsert = allow_upsert
+            elif u.op == "inc":
+                mongo_update.setdefault("$inc", {})[field] = u.value
+            elif u.op == "append":
+                if isinstance(u.value, (list, set, tuple)):
+                    vals = (sorted(u.value) if isinstance(u.value, set)
+                            else list(u.value))
+                    key = ("$addToSet"
+                           if u.add_to_set or isinstance(u.value, set)
+                           else "$push")
+                    mongo_update.setdefault(key, {})[field] = {"$each": vals}
+                else:
+                    key = "$addToSet" if u.add_to_set else "$push"
+                    mongo_update.setdefault(key, {})[field] = u.value
+            elif u.op == "remove":
+                if isinstance(u.value, (list, set, tuple)):
+                    vals = (sorted(u.value) if isinstance(u.value, set)
+                            else list(u.value))
+                    mongo_update.setdefault("$pullAll", {})[field] = vals
+                else:
+                    mongo_update.setdefault("$pull", {})[field] = u.value
+            else:
+                raise ValueError(f"unknown field-update op {u.op!r}")
+        return mongo_update, upsert
+
+    def update_entity_fields(self, kind: str, entity_id: int,
+                             updates: dict) -> bool:
+        coll = {"neurons": self.neurons, "matches": self.matches}[kind]
+        mongo_update, upsert = self._translate_field_updates(
+            updates, allow_upsert=kind == "neurons")
+        if not upsert:
+            existing = next(iter(coll.find({"_id": entity_id})), None)
+            if existing is None:
+                return False
+        coll.update_one({"_id": entity_id}, mongo_update, upsert=upsert)
+        return True
+
+    def update_matches_fields_by_refs(self, mask_refs=None,
+                                      matched_refs=None,
+                                      updates: dict = None) -> int:
+        """Server-side bulk match update by mask/target image refs —
+        the reference's NeuronMatchesDao.updateAll with a
+        NeuronsMatchFilter (ValidateNBDBDataCmd.java:355-369): ONE
+        update_many carries the operators, no match docs cross the
+        wire."""
+        ors = []
+        if mask_refs:
+            ors.append({"maskImageRefId": {"$in": list(mask_refs)}})
+        if matched_refs:
+            ors.append({"matchedImageRefId": {"$in": list(matched_refs)}})
+        if not ors or not updates:
+            return 0
+        query = ors[0] if len(ors) == 1 else {"$or": ors}
+        mongo_update, _ = self._translate_field_updates(
+            updates, allow_upsert=False)
+        r = self.matches.update_many(query, mongo_update)
+        return int(getattr(r, "modified_count", 0))
+
     # --- published-data DAOs (PublishedURLsDao / PublishedLMImageDao,
     # dao/DaosProvider.java:82-88) ---
 

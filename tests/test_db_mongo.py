@@ -90,6 +90,41 @@ def _matches_filter(doc, query):
     return True
 
 
+def _apply_update_ops(d, update, created):
+    """Mongo update-operator semantics used by the DAO layer
+    ($set/$setOnInsert/$inc/$addToSet/$push/$pull/$pullAll, with
+    $each)."""
+    for op, fields in update.items():
+        if op == "$set":
+            d.update(fields)
+        elif op == "$setOnInsert":
+            if created:
+                d.update(fields)
+        elif op == "$inc":
+            for f, v in fields.items():
+                d[f] = (d.get(f) or 0) + v
+        elif op in ("$addToSet", "$push"):
+            for f, v in fields.items():
+                cur = list(d.get(f) or [])
+                vals = (v["$each"] if isinstance(v, dict) and "$each" in v
+                        else [v])
+                for x in vals:
+                    if op == "$push" or x not in cur:
+                        cur.append(x)
+                d[f] = cur
+        elif op == "$pull":
+            for f, v in fields.items():
+                d[f] = [x for x in (d.get(f) or []) if x != v]
+        elif op == "$pullAll":
+            for f, v in fields.items():
+                d[f] = [x for x in (d.get(f) or []) if x not in v]
+        elif op == "$unset":
+            for f in fields:
+                d.pop(f, None)
+        else:
+            raise NotImplementedError(op)
+
+
 class _FakeCollection:
     def __init__(self):
         self.docs = {}
@@ -116,15 +151,20 @@ class _FakeCollection:
         if upsert:
             self.docs[doc["_id"]] = dict(doc)
 
-    def update_one(self, flt, update):
+    def update_one(self, flt, update, upsert=False):
         self.op_log.append("update_one")
-        self._update(flt, update)
+        self._update(flt, update, upsert)
 
-    def _update(self, flt, update):
+    def _update(self, flt, update, upsert=False):
         for d in self.docs.values():
             if _matches_filter(d, flt):
-                d.update(update["$set"])
+                _apply_update_ops(d, update, created=False)
                 return
+        if upsert:
+            doc = {k: v for k, v in flt.items()
+                   if not str(k).startswith("$")}
+            _apply_update_ops(doc, update, created=True)
+            self.docs[doc["_id"]] = doc
 
     def bulk_write(self, ops, ordered=True):
         # pymongo-compatible: ops carry _filter/_doc/_upsert (UpdateOne
@@ -139,6 +179,17 @@ class _FakeCollection:
     def distinct(self, key):
         return sorted({d.get(key) for d in self.docs.values()
                        if d.get(key) is not None})
+
+    def update_many(self, flt, update):
+        self.op_log.append("update_many")
+        n = 0
+        for d in self.docs.values():
+            if _matches_filter(d, flt):
+                _apply_update_ops(d, update, created=False)
+                n += 1
+        class R:
+            modified_count = n
+        return R()
 
     def delete_many(self, query):
         hit = [i for i, d in self.docs.items() if _matches_filter(d, query)]

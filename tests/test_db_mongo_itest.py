@@ -58,3 +58,17 @@ def test_real_mongo_neuron_selectors(real_store):
 def test_real_mongo_published_stores(real_store):
     from test_published_stores import _roundtrip_published
     _roundtrip_published(real_store)
+
+
+def test_real_mongo_field_handlers(real_store):
+    from test_field_handlers import test_all_handler_kinds
+    # reuse the shared scenario body directly against the real server
+    import test_field_handlers as fh
+    fh._seed(real_store)
+    real_store.update_entity_fields(
+        "neurons", 5, {"tags": fh.AppendField({"b", "c"}),
+                       "useCount": fh.IncField(2)})
+    real_store.update_entity_fields("neurons", 5,
+                                    {"tags": fh.RemoveField("a")})
+    d = dict(next(iter(real_store.neurons.find({"_id": 5}))))
+    assert sorted(d["tags"]) == ["b", "c"] and d["useCount"] == 2
