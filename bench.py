@@ -497,12 +497,13 @@ def _run_twophase_library(kind: str, B: int, T: int, rounds: int):
         # dilated single bound, features never materialized in HBM
         bounds = screen.bounds_from_words(u_matrix, words)  # [B, Tp]
         sub("screen", bounds)
-        row_ranges = tile_live = None
+        row_ranges = tile_live = tier2 = None
         if mm is not None:
-            from colormipsearch_tpu.cds.multimask import (
-                row_ranges_from_words, tile_live_from_words)
-            row_ranges = row_ranges_from_words(words)
-            tile_live = tile_live_from_words(words)
+            from colormipsearch_tpu.cds import multimask as mmx
+            row_ranges = mmx.row_ranges_from_words(words)
+            tile_live = mmx.tile_live_from_words(words)
+            if mmx.tier2_enabled():
+                tier2 = mmx.bin_bits_from_words(words)
         del words
         stage["pack+screen"] = stage.get("pack+screen", 0.0) \
             + time.perf_counter() - tstart
@@ -515,7 +516,8 @@ def _run_twophase_library(kind: str, B: int, T: int, rounds: int):
         if mm is not None:
             deferred = mm.launch_deferred(packed, survivors,
                                           row_ranges=row_ranges,
-                                          tile_live=tile_live)
+                                          tile_live=tile_live,
+                                          tier2=tier2)
         else:
             deferred = [e.score_packed_deferred(packed,
                                                 survivors=survivors[i])

@@ -507,7 +507,8 @@ class MultiMaskScorer:
     def _build_launches(self, n_k: int, survivors: np.ndarray,
                         idxs: List[int],
                         row_ranges: Optional[np.ndarray] = None,
-                        tile_live: Optional[tuple] = None
+                        tile_live: Optional[tuple] = None,
+                        tier2: Optional[tuple] = None
                         ) -> List[_Launch]:
         g_bucket = _g_bucket(n_k)
         tb = TB
@@ -516,7 +517,8 @@ class MultiMaskScorer:
         # are [c0 - s, c0 + TILE_H + s) for window-origin row c0
         s = max((abs(dy) for _, dy in self.shifts), default=0)
         livetab = (_LIVETAB and n_k <= _LIVETAB_MAX_K
-                   and (tile_live is not None or row_ranges is not None))
+                   and (tile_live is not None or row_ranges is not None
+                        or tier2 is not None))
         # chunk list: (engine_pos, dest target indices, k0, kn_hull, live)
         chunks = []
         tot_hull = tot_live = 0
@@ -533,6 +535,10 @@ class MultiMaskScorer:
             if livetab:
                 coords1 = tiles.coords[:max(n_act, 1), 1]
                 mirror = getattr(self.engines[pos], "mirror_query", True)
+                ty_i = coords0 // TILE_H
+                tx_i = coords1 // TILE_W
+                qbits = (tile_compat_bits(self.engines[pos])
+                         if tier2 is not None else None)
                 if tile_live is not None:
                     # per-target 3x3-dilated tile-presence bitmaps
                     # (tile_live_from_words): variant (dx, dy) of the
@@ -545,9 +551,7 @@ class MultiMaskScorer:
                     # in any sampled pixel, direct or mirrored)
                     per_t = (tile_live[0] | tile_live[1]) if mirror \
                         else tile_live[0]  # [T, gh, gw]
-                    ty_i = coords0 // TILE_H
-                    tx_i = coords1 // TILE_W
-                else:
+                elif row_ranges is not None:
                     sx = max((abs(dx) for dx, _ in self.shifts), default=0)
                     w = tiles.width
                     has_cols = row_ranges.shape[1] >= 4
@@ -566,7 +570,7 @@ class MultiMaskScorer:
                 if livetab:
                     if tile_live is not None:
                         keep = per_t[dest].any(axis=0)[ty_i, tx_i]
-                    else:
+                    elif row_ranges is not None:
                         # EXACT union of the per-target row (and, when
                         # the ranges carry them, column) intervals —
                         # same proven intervals as the hull, per
@@ -591,6 +595,33 @@ class MultiMaskScorer:
                                             & (coords1 <= mc1 + sx))
                                 kt &= cok
                             keep |= kt
+                    else:
+                        keep = np.ones(len(coords0), bool)
+                    if qbits is not None:
+                        # tier-2 bin-compat gate (exactness argument at
+                        # the module-level tier-2 comment): direct pass
+                        # tests the direct target bit plane, mirror
+                        # pass the flipped one; either keeps the tile
+                        (d0, d1), (m0, m1) = tier2
+                        u0 = np.bitwise_or.reduce(d0[dest],
+                                                  axis=0)[ty_i, tx_i]
+                        u1 = np.bitwise_or.reduce(d1[dest],
+                                                  axis=0)[ty_i, tx_i]
+                        q0 = qbits[:, 0].astype(np.int64)
+                        q1 = qbits[:, 1].astype(np.int64)
+                        t2 = ((q0 & (u0.astype(np.int64) & 0xFFFFFFFF))
+                              | (q1 & (u1.astype(np.int64)
+                                       & 0xFFFFFFFF))) != 0
+                        if mirror:
+                            um0 = np.bitwise_or.reduce(
+                                m0[dest], axis=0)[ty_i, tx_i]
+                            um1 = np.bitwise_or.reduce(
+                                m1[dest], axis=0)[ty_i, tx_i]
+                            t2 |= ((q0 & (um0.astype(np.int64)
+                                          & 0xFFFFFFFF))
+                                   | (q1 & (um1.astype(np.int64)
+                                            & 0xFFFFFFFF))) != 0
+                        keep &= t2
                     live = np.nonzero(keep)[0].astype(np.int32)
                     if len(live) == 0:
                         live = np.zeros(1, np.int32)
@@ -664,7 +695,8 @@ class MultiMaskScorer:
     def launch_deferred(self, packed, survivors: np.ndarray,
                         device=None,
                         row_ranges: Optional[np.ndarray] = None,
-                        tile_live: Optional[tuple] = None
+                        tile_live: Optional[tuple] = None,
+                        tier2: Optional[tuple] = None
                         ) -> List[DeferredScore]:
         """Queue the exact sweep for ALL masks over one packed target
         block; returns one DeferredScore per engine (drain with
@@ -684,7 +716,13 @@ class MultiMaskScorer:
         CMS_MM_LIVETAB the per-chunk grid iterates only tiles whose
         window samples some chunk target's signal (non-contiguous,
         via a flat SMEM indirection), gated adaptively per K-bucket
-        on the measured step reduction (see _LIVETAB_KEEP)."""
+        on the measured step reduction (see _LIVETAB_KEEP).
+
+        tier2: optional ((d0, d1), (m0, m1)) target hue-bin bitmask
+        planes (bin_bits_from_words) — the tier-2 bin-compat gate on
+        top of presence: tiles with target signal but NO
+        prescreen-compatible hue pairing are skipped too (bit-exact;
+        see the module tier-2 comment)."""
         t_padded, t_flipped = packed
         tsz = t_padded.shape[0]
         surv_np = np.asarray(survivors).astype(np.int32)
@@ -692,7 +730,8 @@ class MultiMaskScorer:
         for n_k, idxs in self.buckets.items():
             q_stack = self._q_for(n_k, device)
             for la in self._build_launches(n_k, surv_np, idxs, row_ranges,
-                                           tile_live=tile_live):
+                                           tile_live=tile_live,
+                                           tier2=tier2):
                 lt = la.ltab is not None
                 with _dev_ctx(device):
                     scalars = (jnp.asarray(la.gmids), jnp.asarray(la.lmids),
@@ -717,6 +756,115 @@ class MultiMaskScorer:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])
                 for i, e in enumerate(self.engines)]
+
+
+# ---- tier-2 bin-compat tile gating (fused into the live-tile table) --
+#
+# ROADMAP round-4 #1: the pixel-granular bin-compat bound is tight but a
+# separate tier-2 PASS pays the exact kernel's window DMA again (a ~5%
+# wash, measured r3). The only form that pays is gating INSIDE the
+# exact launch: a (mask tile, chunk) pair is skipped when NO query-pixel
+# hue bin in the tile is prescreen-compatible with ANY target-pixel bin
+# in the 3x3 tile neighbourhood its windows sample, for every chunk
+# target, direct or mirrored. compat_matrix is a proven superset of the
+# exact gap predicate (prescreen.py:68, bound >= score verified), so a
+# gated-out tile provably contributes 0 matches — bit-identical scores.
+# The gate rides the existing live-tile indirection and its adaptive
+# keep threshold (_LIVETAB_KEEP).
+
+_TIER2 = os.environ.get("CMS_MM_TIER2", "1") == "1"
+
+
+def tier2_enabled() -> bool:
+    from .prescreen import N_BINS
+    return _TIER2 and _LIVETAB and N_BINS <= 64
+
+
+@functools.partial(jax.jit, static_argnames=("gh", "gw"))
+def _bin_bits_dev(words, gh: int, gw: int):
+    """Per-tile-neighbourhood target hue-bin bitmasks: two int32 lanes
+    (N_BINS <= 64) OR-reduced over each mask tile footprint, then
+    3x3-dilated over the tile grid (the exact window sampling
+    neighbourhood, same geometry as _tile_live_dev)."""
+    from .prescreen import bin_plane_from_words
+    tsz, h, w = words.shape
+
+    def bits_of(wds):
+        bins = bin_plane_from_words(wds)
+        lane0 = jnp.where((bins >= 0) & (bins < 32),
+                          jnp.int32(1) << jnp.clip(bins, 0, 31).astype(jnp.int32),
+                          0)
+        lane1 = jnp.where(bins >= 32,
+                          jnp.int32(1) << jnp.clip(bins - 32, 0,
+                                                   31).astype(jnp.int32),
+                          0)
+
+        def pool(x):
+            p = jnp.pad(x, ((0, 0), (0, gh * TILE_H - h),
+                            (0, gw * TILE_W - w)))
+            t = p.reshape(tsz, gh, TILE_H, gw, TILE_W)
+            t = jax.lax.reduce(t, np.int32(0), jax.lax.bitwise_or, (2, 4))
+            t = jnp.pad(t, ((0, 0), (1, 1), (1, 1)))
+            t = t[:, :-2] | t[:, 1:-1] | t[:, 2:]
+            return t[:, :, :-2] | t[:, :, 1:-1] | t[:, :, 2:]
+
+        return pool(lane0), pool(lane1)
+
+    # mirror flips the RAW w-wide plane (see _tile_live_dev)
+    return bits_of(words), bits_of(words[:, :, ::-1])
+
+
+def bin_bits_from_words(words):
+    """((d0, d1), (m0, m1)) int32 [T, gh, gw] target-bin bitmask planes
+    (direct, mirrored) for the tier-2 tile gate."""
+    tsz, h, w = words.shape
+    gh = -(-h // TILE_H)
+    gw = -(-w // TILE_W)
+    (d0, d1), (m0, m1) = _bin_bits_dev(words, gh, gw)
+    return ((np.asarray(d0), np.asarray(d1)),
+            (np.asarray(m0), np.asarray(m1)))
+
+
+def tile_compat_bits(engine):
+    """Per-active-tile EXPANDED query bitmasks [n_act, 2] uint32: bit jt
+    set iff some query pixel bin in the tile is compat with target bin
+    jt. None when tier-2 cannot apply (bins don't fit 64, or zTol
+    exceeds the bin width). Cached on the engine (static per mask)."""
+    cached = getattr(engine, "_tier2_bits", False)
+    if cached is not False:
+        return cached
+    from .prescreen import N_BINS, bin_plane_from_words, compat_matrix
+    bits = None
+    if N_BINS <= 64:
+        try:
+            compat = compat_matrix(engine.zt9)
+        except ValueError:
+            compat = None
+        if compat is not None:
+            row_bits = np.zeros((N_BINS, 2), np.uint32)
+            for jq in range(N_BINS):
+                b0 = b1 = 0
+                for jt in np.nonzero(compat[jq])[0]:
+                    if jt < 32:
+                        b0 |= 1 << int(jt)
+                    else:
+                        b1 |= 1 << int(jt - 32)
+                row_bits[jq] = (b0, b1)
+            bins = np.asarray(bin_plane_from_words(
+                np.asarray(engine.planes.words).astype(np.int64), xp=np))
+            n_act = max(engine.tiles.n_active, 1)
+            coords = engine.tiles.coords[:n_act]
+            bits = np.zeros((n_act, 2), np.uint32)
+            for i in range(n_act):
+                ty, tx = int(coords[i, 0]), int(coords[i, 1])
+                sub = bins[ty:ty + TILE_H, tx:tx + TILE_W]
+                present = np.unique(sub[sub >= 0]).astype(np.int64)
+                if len(present):
+                    rb = row_bits[present]
+                    bits[i, 0] = np.bitwise_or.reduce(rb[:, 0])
+                    bits[i, 1] = np.bitwise_or.reduce(rb[:, 1])
+    engine._tier2_bits = bits
+    return bits
 
 
 @jax.jit

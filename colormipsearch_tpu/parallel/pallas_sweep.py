@@ -121,12 +121,13 @@ class TwoPhaseSweep:
                 survivors = (bounds > self.thresholds[:, None]).astype(
                     np.int32)
                 n_screened += int((survivors == 0).sum())
-            tile_live = None
+            tile_live = tier2 = None
             if self._mm is not None:
-                from ..cds.multimask import (signal_ranges_from_words,
-                                             tile_live_from_words)
-                row_ranges = signal_ranges_from_words(words)
-                tile_live = tile_live_from_words(words)
+                from ..cds import multimask as mmx
+                row_ranges = mmx.signal_ranges_from_words(words)
+                tile_live = mmx.tile_live_from_words(words)
+                if mmx.tier2_enabled():
+                    tier2 = mmx.bin_bits_from_words(words)
             del words
             stage["pack+screen"] = stage.get("pack+screen", 0.0) \
                 + time.perf_counter() - t0
@@ -135,7 +136,8 @@ class TwoPhaseSweep:
                 defs = self._mm.launch_deferred(packed, survivors,
                                                 device=dev,
                                                 row_ranges=row_ranges,
-                                                tile_live=tile_live)
+                                                tile_live=tile_live,
+                                                tier2=tier2)
             else:
                 defs = [
                     eng.score_packed_deferred(
