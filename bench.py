@@ -305,9 +305,15 @@ def _bench_gradients_production():
                     args, excluded, planes_cache))
             return len(scored), time.perf_counter() - t0
 
-        # mask 0: cold pass (plane builds, thread-pooled) -> host cost
-        n0, cold = run_mask(0)
+        # mask 0: cold pass INCLUDING one-time XLA compiles
+        n0, cold_compile = run_mask(0)
         assert n0 == n_targets
+        # second cold pass with fresh decode+plane caches but warm
+        # compiles — the per-target cost production actually pays
+        # (compiles amortize over 100K+ targets, not 24)
+        cache = MIPsCache(4096)
+        planes_cache.clear()
+        n0, cold = run_mask(0)
         per_target_host = cold / n_targets
         # masks 1..n: warm passes (cache hits) -> end-to-end match rate
         warm_best = 0.0
@@ -315,10 +321,14 @@ def _bench_gradients_production():
             n, dt = run_mask(mi)
             warm_best = max(warm_best, n / dt)
         _log(f"[grad-prod] cold {per_target_host*1e3:.0f} ms/target "
-             f"(precomputed zgap, {os.cpu_count()} threads); warm "
+             f"(compile excluded; incl-compile pass "
+             f"{cold_compile/n_targets*1e3:.0f} ms/target; precomputed "
+             f"zgap, {os.cpu_count()} threads); warm "
              f"{warm_best:,.0f} matches/s")
         return {"gradient_matches_per_s": round(warm_best, 1),
-                "gradient_cold_s_per_target": round(per_target_host, 4)}
+                "gradient_cold_s_per_target": round(per_target_host, 4),
+                "gradient_cold_incl_compile_s_per_target":
+                    round(cold_compile / n_targets, 4)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

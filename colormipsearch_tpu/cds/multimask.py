@@ -84,11 +84,17 @@ def _pow2_at_least(n: int, lo: int) -> int:
 def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                  ratio: bool = False, acc2d: bool = False,
                  dma_elide: bool = False, livetab: bool = False,
-                 k_grid: int = 0):
+                 k_grid: int = 0, acc16: bool = False):
     # acc2d: accumulate full [8, 128] match tiles per variant and defer
     # the cross-sublane reduction to the single chunk-final out write
     # (bit-identical; removes one 8-sublane shuffle-reduce per
     # (tile, target, variant) from the hot loop).
+    # acc16: int16 accumulator lanes for the acc2d path (ROADMAP
+    # round-4 #2): the VPU's i16 add packs 2 values per 32-bit lane
+    # (0.46 vs 0.21 Top/s measured, scripts/op_microbench.py), so the
+    # hot accumulate halves its vector-op count. No overflow: per-chunk
+    # per-pixel counts are bounded by the tile count n_k <= 768 <
+    # 2^15. Widening to int32 happens once at the chunk-final write.
     # dma_elide: DIAGNOSTIC ONLY (wrong scores) — issue the window DMA
     # only at k == 0 so a profile run can measure the DMA-free floor of
     # the exact phase (attribution for the window-reuse lever).
@@ -156,9 +162,11 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
 
         slot = jnp.int32(0) if dma_elide else jax.lax.rem(k, 2)
 
+        acc_dt = jnp.int16 if acc16 else jnp.int32
+
         @pl.when(k == 0)
         def _():
-            acc[...] = jnp.zeros(acc.shape, dtype=jnp.int32)
+            acc[...] = jnp.zeros(acc.shape, dtype=acc_dt)
 
         @pl.when(alive & (k == 0))
         def _():
@@ -181,10 +189,11 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                     r0, c0 = TILE_H + dy, TILE_W + dx
                     rf = rfb[r0:r0 + TILE_H, c0:c0 + TILE_W]
                     fw = fb[r0:r0 + TILE_H, c0:c0 + TILE_W]
-                    m = _ratio_match(rf, fw, C).astype(jnp.int32)
                     if acc2d:
+                        m = _ratio_match(rf, fw, C).astype(acc_dt)
                         acc[g0, base_vi + vi] += m
                     else:
+                        m = _ratio_match(rf, fw, C).astype(jnp.int32)
                         acc[g0, base_vi + vi, :] += m.sum(axis=0)
         else:
             q = _unpack(q_ref[0])
@@ -193,10 +202,13 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
                 for vi, (dx, dy) in enumerate(shifts):
                     r0, c0 = TILE_H + dy, TILE_W + dx
                     w = win[slot, g0, r0:r0 + TILE_H, c0:c0 + TILE_W]
-                    m = _match_predicate(q, _unpack(w), zt9).astype(jnp.int32)
                     if acc2d:
+                        m = _match_predicate(q, _unpack(w),
+                                             zt9).astype(acc_dt)
                         acc[g0, base_vi + vi] += m
                     else:
+                        m = _match_predicate(q, _unpack(w),
+                                             zt9).astype(jnp.int32)
                         acc[g0, base_vi + vi, :] += m.sum(axis=0)
 
         def target_body(j, _):
@@ -225,7 +237,7 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
         @pl.when(k == pl.num_programs(1) - 1)
         def _():
             if acc2d:
-                out_ref[...] = acc[...].sum(axis=2)
+                out_ref[...] = acc[...].astype(jnp.int32).sum(axis=2)
             else:
                 out_ref[...] = acc[...]
 
@@ -243,12 +255,14 @@ def _make_kernel(shifts, zt9: int, n_k: int, tb: int, g_bucket: int,
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
                                     "k_grid", "g_bucket", "interpret",
-                                    "acc2d", "dma_elide", "livetab"))
+                                    "acc2d", "dma_elide", "livetab",
+                                    "acc16"))
 def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                     q_stack, t_padded, t_flipped, zt9: int, shifts_tuple,
                     tb: int, n_k: int, k_grid: int, g_bucket: int,
                     interpret: bool, acc2d: bool = False,
-                    dma_elide: bool = False, livetab: bool = False):
+                    dma_elide: bool = False, livetab: bool = False,
+                    acc16: bool = False):
     # k_grid: static grid extent of the tile dimension, >= every chunk's
     # kn in this launch. MEASURED (profile_exact_phase, r3): the null-
     # predicate exact-phase floor is ~uniform PER GRID STEP, so dead
@@ -262,7 +276,8 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
                                             acc2d=acc2d,
                                             dma_elide=dma_elide,
-                                            livetab=livetab, k_grid=k_grid)
+                                            livetab=livetab, k_grid=k_grid,
+                                            acc16=acc16)
     if livetab:
         def qmap(t, k, gm, lm, b, tg, sv, c, lt, kn):
             return (gm[t] * n_k + jnp.minimum(lt[t * k_grid + k], n_k - 1),
@@ -272,6 +287,7 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
             return (gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1), 0, 0)
     acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
                  else (tb, NV_PAD, TILE_W))
+    acc_dt = jnp.int16 if acc16 else jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_chunks, k_grid),
@@ -286,7 +302,7 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                                (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM(acc_shape, jnp.int32),
+            pltpu.VMEM(acc_shape, acc_dt),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -305,13 +321,14 @@ def _multimask_call(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
 @functools.partial(jax.jit,
                    static_argnames=("zt9", "shifts_tuple", "tb", "n_k",
                                     "k_grid", "g_bucket", "interpret",
-                                    "acc2d", "dma_elide", "livetab"))
+                                    "acc2d", "dma_elide", "livetab",
+                                    "acc16"))
 def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                           qc_stack, qf_stack, t_padded, t_flipped, zt9: int,
                           shifts_tuple, tb: int, n_k: int, k_grid: int,
                           g_bucket: int, interpret: bool,
                           acc2d: bool = False, dma_elide: bool = False,
-                          livetab: bool = False):
+                          livetab: bool = False, acc16: bool = False):
     """Ratio-predicate variant of _multimask_call: the stacked query
     streams as (packed compare constants, f32 bound planes) and the
     kernel gets the shared per-window prep scratch (see
@@ -322,7 +339,8 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
     kernel, win_h, win_w, nv = _make_kernel(shifts, zt9, n_k, tb, g_bucket,
                                             ratio=True, acc2d=acc2d,
                                             dma_elide=dma_elide,
-                                            livetab=livetab, k_grid=k_grid)
+                                            livetab=livetab, k_grid=k_grid,
+                                            acc16=acc16)
     if livetab:
         def qtile(t, k, gm, lm, b, tg, sv, c, lt, kn):
             return gm[t] * n_k + jnp.minimum(lt[t * k_grid + k], n_k - 1)
@@ -331,6 +349,7 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
             return gm[t] * n_k + jnp.minimum(k0[t] + k, n_k - 1)
     acc_shape = ((tb, NV_PAD, TILE_H, TILE_W) if acc2d
                  else (tb, NV_PAD, TILE_W))
+    acc_dt = jnp.int16 if acc16 else jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_chunks, k_grid),
@@ -349,7 +368,7 @@ def _multimask_call_ratio(gmids, lmids, blk, tgt, surv, coords_l, k0s, kns,
                                (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM(acc_shape, jnp.int32),
+            pltpu.VMEM(acc_shape, acc_dt),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((2, tb, win_h, win_w), jnp.int32),
             pltpu.VMEM((win_h, win_w), jnp.float32),
@@ -380,6 +399,9 @@ _ACC2D = os.environ.get("CMS_ACC2D", "1") == "1"
 # DIAGNOSTIC ONLY (wrong scores): elide window DMAs past k=0 to measure
 # the DMA-free floor of the exact phase
 _DMA_ELIDE = os.environ.get("CMS_DMA_ELIDE", "0") == "1"
+# int16 accumulator lanes for the acc2d path (see _make_kernel acc16);
+# default OFF until the HW A/B lands a win (scripts/profile_acc16_ab.py)
+_ACC16 = os.environ.get("CMS_ACC16", "0") == "1"
 # per-chunk live-tile table: each chunk's grid iterates its EXACT
 # (non-contiguous) set of live tiles via a flat [n_chunks * k_grid]
 # SMEM indirection, instead of the contiguous hull [k0, k0+kn) —
@@ -745,13 +767,15 @@ class MultiMaskScorer:
                             *scalars, q_stack[0], q_stack[1], t_padded,
                             t_flipped, self.zt9, self.shifts, TB, n_k,
                             la.k_grid, _g_bucket(n_k), self.interpret,
-                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt)
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt,
+                            acc16=_ACC16 and _ACC2D)
                     else:
                         out = _multimask_call(
                             *scalars, q_stack, t_padded, t_flipped,
                             self.zt9, self.shifts, TB, n_k, la.k_grid,
                             _g_bucket(n_k), self.interpret,
-                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt)
+                            acc2d=_ACC2D, dma_elide=_DMA_ELIDE, livetab=lt,
+                            acc16=_ACC16 and _ACC2D)
                 for pos, r0, dest in la.spans:
                     pendings[pos].append((dest, out, len(dest), r0))
         return [DeferredScore(e, tsz, pendings[i], surv_np[i])

@@ -311,3 +311,28 @@ def test_row_ranges_from_words(library):
     assert list(rr[0]) == [10, 13]
     assert list(rr[1]) == [0, -1]   # empty
     assert list(rr[2]) == [47, 47]
+
+
+def test_multimask_acc16_bit_identical(library):
+    """int16 accumulator lanes (CMS_ACC16) must not change scores:
+    per-chunk counts are bounded by the tile count << 2^15."""
+    import colormipsearch_tpu.cds.multimask as mmod
+    from colormipsearch_tpu.cds.multimask import MultiMaskScorer
+    from colormipsearch_tpu.cds.pixel_pallas import drain_deferred
+
+    masks, targets = library
+    engines = _engines(masks[:3])
+    packed = engines[0].prepare_targets(targets)
+    surv = _survivor_matrix(engines, targets)[:3]
+    mm = MultiMaskScorer(engines, interpret=True)
+    old = mmod._ACC16
+    try:
+        mmod._ACC16 = False
+        want = drain_deferred(mm.launch_deferred(packed, surv))
+        mmod._ACC16 = True
+        got = drain_deferred(mm.launch_deferred(packed, surv))
+    finally:
+        mmod._ACC16 = old
+    for (gs, _, gm), (ws, _, wm) in zip(got, want):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_array_equal(gm, wm)
