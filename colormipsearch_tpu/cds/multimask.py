@@ -796,7 +796,13 @@ class MultiMaskScorer:
 # The gate rides the existing live-tile indirection and its adaptive
 # keep threshold (_LIVETAB_KEEP).
 
-_TIER2 = os.environ.get("CMS_MM_TIER2", "1") == "1"
+# MEASURED r4 (scripts/profile_tier2_ab.py, 256x256 adversarial, HW):
+# scores bit-identical, but the gate removed only 5.3% of presence-kept
+# steps (hue-diverse masks expand to nearly every bin) while its
+# host-side per-chunk bit unions ran every launch — net x0.655. Default
+# OFF; enable for hue-sparse production libraries where the keep
+# fraction clears the adaptive gate.
+_TIER2 = os.environ.get("CMS_MM_TIER2", "0") == "1"
 
 
 def tier2_enabled() -> bool:
