@@ -72,3 +72,24 @@ def test_real_mongo_field_handlers(real_store):
                                     {"tags": fh.RemoveField("a")})
     d = dict(next(iter(real_store.neurons.find({"_id": 5}))))
     assert sorted(d["tags"]) == ["b", "c"] and d["useCount"] == 2
+
+
+def test_real_mongo_selector_pushdown(real_store):
+    """Certify the r4 pushdown operator surface ($gte/$all/$nin/$nor/
+    $or/$and, dotted paths, update_many) against a real server."""
+    from test_selector_pushdown import (SCORE_CASES, SELECTOR_CASES,
+                                        _host_reference, _seed)
+    matches = _seed(real_store)
+    for sel in SELECTOR_CASES:
+        want = _host_reference(matches, sel, None)
+        got = real_store.find_matches_by_mask_refs([1], target_selector=sel)
+        assert sorted(m.matched_image.mip_id for m in got) == want, sel
+    for sf in SCORE_CASES:
+        want = _host_reference(matches, None, sf)
+        got = real_store.find_matches_by_mask_refs([1], scores_filter=sf)
+        assert sorted(m.matched_image.mip_id for m in got) == want, \
+            sf.selectors
+    from colormipsearch_tpu.dataio.base import AppendField
+    n = real_store.update_matches_fields_by_refs(
+        mask_refs=[1], updates={"tags": AppendField({"itest-tag"})})
+    assert n == len(matches)
