@@ -149,3 +149,47 @@ def test_prefetch_device_equals_host_path(fixtures_dir, tmp_path,
     assert dev == host
     # golden anchor (Shape2DMatchColorDepthSearchAlgorithmTest values)
     assert dev[0] == (21365, 731)
+
+
+def test_prefetch_groups_mixed_shapes(tmp_path):
+    """Targets with different frame sizes in one prefetch must group
+    into separate device builds (one static shape each); a target whose
+    planes mismatch the mask frame is skipped with -1 scores."""
+    from PIL import Image as PILImage
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    from colormipsearch_tpu.cmd import gradientscores_cmd as gc
+    from colormipsearch_tpu.imageproc.io import Image, ImageKind
+    from colormipsearch_tpu.mips import MIPsCache
+    from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
+                                          EMNeuronEntity, FileData,
+                                          LMNeuronEntity)
+
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    mask_px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    qplanes = build_query_shape_planes(Image(ImageKind.RGB, mask_px), None)
+    em = EMNeuronEntity(entity_id=1, mip_id="em")
+    matches = []
+    for i, (th, tw) in enumerate([(h, w), (h, w), (h + 16, w + 32)]):
+        cdm = rng.integers(0, 256, size=(th, tw, 3), dtype=np.uint8)
+        grad = rng.integers(0, 200, size=(th, tw), dtype=np.uint8)
+        cp, gp = tmp_path / f"t{i}.png", tmp_path / f"t{i}_g.png"
+        PILImage.fromarray(cdm).save(cp)
+        PILImage.fromarray(grad, mode="L").save(gp)
+        lm = LMNeuronEntity(entity_id=10 + i, mip_id=f"lm-{i}")
+        lm.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(str(cp))
+        lm.compute_files[ComputeFileType.GradientImage] = \
+            FileData.from_string(str(gp))
+        m = CDMatchEntity()
+        m.mask_image, m.matched_image = em, lm
+        matches.append(m)
+    args = argparse.Namespace(maskThreshold=20, mirrorMask=True,
+                              computeZGapOnTheFly=True, targetsPerBatch=4,
+                              queryROIMaskName=None, planes_threads=2)
+    os.environ["CMS_DEVICE_PLANES"] = "1"
+    scored = gc._score_batch(list(matches), qplanes, MIPsCache(8), args,
+                             None, {})
+    assert len(scored) == 2  # the mismatched frame is skipped
+    assert matches[2].gradient_area_gap == -1
+    assert all(m.gradient_area_gap >= 0 for m in scored)
