@@ -244,7 +244,7 @@ def _bench_gradients_production():
                                           LMNeuronEntity)
     from colormipsearch_tpu.mips import MIPsCache
 
-    n_targets = int(os.environ.get("CMS_BENCH_GRAD_DISTINCT", "24"))
+    n_targets = int(os.environ.get("CMS_BENCH_GRAD_DISTINCT", "128"))
     n_masks = int(os.environ.get("CMS_BENCH_GRAD_MASKS", "4"))
     lm_names = [n for n in sorted(os.listdir(os.path.join(_FIXTURES, "lms")))
                 if os.path.exists(os.path.join(
