@@ -27,6 +27,26 @@ from .args import add_cds_params, add_common_args, excluded_regions_for
 
 LOG = logging.getLogger(__name__)
 
+_FLUSH_COUNT = 0
+
+
+def _test_kill_hook() -> None:
+    """Fault injection for the GA-phase kill-and-resume test
+    (tests/test_kill_resume.py): SIGKILL after the Nth batched score
+    flush when CMS_TEST_KILL_AFTER_GA_FLUSHES is set — emulates a GA
+    grid job dying mid-run; the reference resubmits the same mask-block
+    offsets and idempotent field updates converge
+    (submitGAJob.sh:50-60, CalculateGradientScoresCmd.java:602-614)."""
+    import os as _os
+    n = _os.environ.get("CMS_TEST_KILL_AFTER_GA_FLUSHES")
+    if not n:
+        return
+    global _FLUSH_COUNT
+    _FLUSH_COUNT += 1
+    if _FLUSH_COUNT >= int(n):
+        import signal
+        _os.kill(_os.getpid(), signal.SIGKILL)
+
 
 def add_parser(subparsers) -> None:
     p = subparsers.add_parser("gradientScores",
@@ -154,6 +174,7 @@ def run(args: argparse.Namespace) -> int:
                      and len(pending_updates) >= args.write_batch_size):
             writer.write_updates(pending_updates, update_fields)
             pending_updates.clear()
+            _test_kill_hook()
 
     for mip_id in mask_locations:
         sel = DataSourceParam(mip_ids=[mip_id],

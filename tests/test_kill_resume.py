@@ -49,6 +49,10 @@ def _build_workspace(tmp_path):
                             gender=Gender.f, objective="40x")
         lm.compute_files[ComputeFileType.InputColorDepthImage] = \
             FileData.from_string(str(p))
+        grad = FIXTURES / "grad" / f"{p.stem}.png"
+        if grad.exists():
+            lm.compute_files[ComputeFileType.GradientImage] = \
+                FileData.from_string(str(grad))
         targets.append(lm)
     for fname, ents in (("masks.json", ems), ("targets.json", targets)):
         w = JSONCDMIPsWriter(str(tmp_path / fname))
@@ -135,3 +139,40 @@ def test_double_run_is_idempotent(tmp_path):
     once = _canonical_store(db)
     assert _run(_search_cmd(tmp_path, db)).returncode == 0
     assert _canonical_store(db) == once
+
+
+def _ga_cmd(db):
+    return [sys.executable, "-m", "colormipsearch_tpu", "gradientScores",
+            "--db", db, "--maskThreshold", "20", "--mirrorMask",
+            "--computeZGapOnTheFly", "--write-batch-size", "1",
+            "--processing-tag", "gatest"]
+
+
+@pytest.mark.slow
+def test_ga_sigkill_then_resume_converges(tmp_path):
+    """gradientScores killed after its first batched score flush, then
+    re-run: the final store equals an uninterrupted GA run (batched
+    field updates are idempotent; the reference resubmits the same GA
+    block, CalculateGradientScoresCmd.java:602-614)."""
+    _build_workspace(tmp_path)
+    clean_db = str(tmp_path / "clean.db")
+    r = _run(_search_cmd(tmp_path, clean_db))
+    assert r.returncode == 0, r.stderr[-2000:]
+    crash_db = str(tmp_path / "crash.db")
+    r = _run(_search_cmd(tmp_path, crash_db))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _canonical_store(crash_db) == _canonical_store(clean_db)
+
+    r = _run(_ga_cmd(clean_db))
+    assert r.returncode == 0, r.stderr[-2000:]
+    clean = _canonical_store(clean_db)
+    assert any(m.get("gradientAreaGap", -1) >= 0 for m in clean["matches"])
+
+    r = _run(_ga_cmd(crash_db), {"CMS_TEST_KILL_AFTER_GA_FLUSHES": "1"})
+    assert r.returncode == -9, (r.returncode, r.stderr[-2000:])
+    partial = _canonical_store(crash_db)
+    assert partial != clean, "the kill must land before GA completes"
+
+    r = _run(_ga_cmd(crash_db))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _canonical_store(crash_db) == clean
