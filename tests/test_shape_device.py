@@ -193,3 +193,34 @@ def test_prefetch_groups_mixed_shapes(tmp_path):
     assert len(scored) == 2  # the mismatched frame is skipped
     assert matches[2].gradient_area_gap == -1
     assert all(m.gradient_area_gap >= 0 for m in scored)
+
+
+def test_device_planes_fuzz_threshold_edges():
+    """Randomized device-vs-oracle plane fuzz with values clustered at
+    the threshold boundaries (thr-1/thr/thr+1) and saturated channels —
+    the edges where an off-by-one in the device path would hide."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(97)
+    h, w = 40, 136
+    thr = 20
+    for trial in range(6):
+        pool = np.array([0, 1, thr - 1, thr, thr + 1, 127, 254, 255],
+                        dtype=np.uint8)
+        cdm = pool[rng.integers(0, len(pool), size=(h, w, 3))]
+        zgap = pool[rng.integers(0, len(pool), size=(h, w, 3))]
+        grad = rng.integers(0, 65535, size=(h, w)).astype(np.uint16)
+        excluded = rng.random((h, w)) < 0.1 if trial % 2 else None
+        mode = "file" if trial % 3 else "otf"
+        host = build_target_shape_planes(
+            Image(ImageKind.RGB, cdm),
+            Image(ImageKind.GRAY16, grad),
+            Image(ImageKind.RGB, zgap) if mode == "file" else None,
+            thr, excluded)
+        out = shape_device.build_target_planes_device(
+            cdm[None], grad[None],
+            zgap[None] if mode == "file" else None,
+            jnp.asarray(excluded) if excluded is not None else None,
+            thr=thr, zgap_mode=mode, grad_is_rgb=False)
+        for got, want in zip(out, (host.t_above, host.grad,
+                                   host.z_nonzero, host.z_slice)):
+            np.testing.assert_array_equal(np.asarray(got[0]), want)
