@@ -245,16 +245,41 @@ def run(args: argparse.Namespace) -> int:
 _PLANES_CACHE_MAX = 2048
 
 
+def _planes_nbytes(planes) -> int:
+    if planes is None:
+        return 0
+    return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+               for a in (planes.t_above, planes.grad, planes.z_nonzero,
+                         planes.z_slice))
+
+
+_PLANES_CACHE_MB = int(__import__("os").environ
+                       .get("CMS_PLANES_CACHE_MB", "4096"))
+
+
 def _insert_plane(planes_cache: dict, key, planes) -> None:
     """Bounded LRU insert with a host memory-pressure reaction
     (AbstractCmd.java:52-62 analogue): device-resident plane sets are
     the run's dominant steady-state HBM+RAM consumer, so under low
-    host memory the cache halves (more recomputation, never an OOM)."""
-    while len(planes_cache) >= _PLANES_CACHE_MAX:
-        planes_cache.pop(next(iter(planes_cache)))  # evict oldest (LRU)
+    host memory the cache halves (more recomputation, never an OOM).
+    The bound is BYTE-aware (CMS_PLANES_CACHE_MB, default 4 GB): a
+    pure entry cap at production frames (~4.1 MB/target) would let the
+    cache reach ~8 GB of HBM — a nondeterministic RESOURCE_EXHAUSTED
+    on the shared-HBM chip (CLAUDE.md)."""
+    budget = _PLANES_CACHE_MB << 20
+    size = planes_cache.pop("__bytes__", None)
+    if size is None:  # counter lost (e.g. memguard eviction): recount
+        size = sum(_planes_nbytes(p) for p in planes_cache.values())
+    size += _planes_nbytes(planes)
+    while planes_cache and (len(planes_cache) >= _PLANES_CACHE_MAX
+                            or size > budget):
+        old = planes_cache.pop(next(iter(planes_cache)))  # oldest (LRU)
+        size -= _planes_nbytes(old)
     planes_cache[key] = planes
+    planes_cache["__bytes__"] = size
 
     def evict_half() -> int:
+        planes_cache.pop("__bytes__", None)  # force a recount next insert
         n = len(planes_cache) // 2
         for _ in range(n):
             planes_cache.pop(next(iter(planes_cache)))

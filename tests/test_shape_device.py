@@ -224,3 +224,32 @@ def test_device_planes_fuzz_threshold_edges():
         for got, want in zip(out, (host.t_above, host.grad,
                                    host.z_nonzero, host.z_slice)):
             np.testing.assert_array_equal(np.asarray(got[0]), want)
+
+
+def test_plane_cache_byte_budget(monkeypatch):
+    """The plane cache evicts by BYTES (device-HBM safety), not just
+    entry count."""
+    from types import SimpleNamespace
+    from colormipsearch_tpu.cmd import gradientscores_cmd as gc
+    mb = 1  # 1 MB budget
+    monkeypatch.setattr(gc, "_PLANES_CACHE_MB", mb)
+    cache = {}
+    h, w = 64, 512  # ~0.19 MB/entry at 6 B/pixel
+    def planes(i):
+        return SimpleNamespace(
+            t_above=np.zeros((h, w), bool),
+            grad=np.zeros((h, w), np.uint16),
+            z_nonzero=np.zeros((h, w), bool),
+            z_slice=np.zeros((h, w), np.uint16))
+    per = gc._planes_nbytes(planes(0))
+    fit = (mb << 20) // per
+    for i in range(fit + 4):
+        gc._insert_plane(cache, f"k{i}", planes(i))
+        assert cache["__bytes__"] <= (mb << 20)
+    real = [k for k in cache if k != "__bytes__"]
+    assert len(real) == fit
+    # oldest evicted, newest kept
+    assert f"k{fit + 3}" in cache and "k0" not in cache
+    # None entries cost nothing
+    gc._insert_plane(cache, "none", None)
+    assert "none" in cache
