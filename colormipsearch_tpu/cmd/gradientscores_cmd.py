@@ -246,8 +246,8 @@ _PLANES_CACHE_MAX = 2048
 
 
 def _planes_nbytes(planes) -> int:
-    if planes is None:
-        return 0
+    if planes is None or not hasattr(planes, "t_above"):
+        return 0  # None (missing-file sentinel) or test doubles
     return sum(int(np.prod(a.shape)) * a.dtype.itemsize
                for a in (planes.t_above, planes.grad, planes.z_nonzero,
                          planes.z_slice))
