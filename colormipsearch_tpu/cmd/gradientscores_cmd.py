@@ -267,19 +267,17 @@ def _insert_plane(planes_cache: dict, key, planes) -> None:
     cache reach ~8 GB of HBM — a nondeterministic RESOURCE_EXHAUSTED
     on the shared-HBM chip (CLAUDE.md)."""
     budget = _PLANES_CACHE_MB << 20
-    size = planes_cache.pop("__bytes__", None)
-    if size is None:  # counter lost (e.g. memguard eviction): recount
-        size = sum(_planes_nbytes(p) for p in planes_cache.values())
-    size += _planes_nbytes(planes)
+    # recomputed per insert: <= ~1000 cheap attr reads, negligible next
+    # to the per-target decode+upload this call sits behind
+    size = sum(_planes_nbytes(p) for p in planes_cache.values()) \
+        + _planes_nbytes(planes)
     while planes_cache and (len(planes_cache) >= _PLANES_CACHE_MAX
                             or size > budget):
         old = planes_cache.pop(next(iter(planes_cache)))  # oldest (LRU)
         size -= _planes_nbytes(old)
     planes_cache[key] = planes
-    planes_cache["__bytes__"] = size
 
     def evict_half() -> int:
-        planes_cache.pop("__bytes__", None)  # force a recount next insert
         n = len(planes_cache) // 2
         for _ in range(n):
             planes_cache.pop(next(iter(planes_cache)))

@@ -245,9 +245,9 @@ def test_plane_cache_byte_budget(monkeypatch):
     fit = (mb << 20) // per
     for i in range(fit + 4):
         gc._insert_plane(cache, f"k{i}", planes(i))
-        assert cache["__bytes__"] <= (mb << 20)
-    real = [k for k in cache if k != "__bytes__"]
-    assert len(real) == fit
+        total = sum(gc._planes_nbytes(p) for p in cache.values())
+        assert total <= (mb << 20)
+    assert len(cache) == fit
     # oldest evicted, newest kept
     assert f"k{fit + 3}" in cache and "k0" not in cache
     # None entries cost nothing
