@@ -102,7 +102,7 @@ def _bench_gradients():
     import jax
     from colormipsearch_tpu.imageproc import load_image, label_regions_mask
     from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
-    from colormipsearch_tpu.cmd.gradientscores_cmd import _score_batch
+    from colormipsearch_tpu.cmd.gradientscores_cmd import score_mask_partitions
     from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
                                           EMNeuronEntity, FileData,
                                           LMNeuronEntity)
@@ -149,11 +149,8 @@ def _bench_gradients():
             cache = MIPsCache(64)   # cold decode every rep (end-to-end)
             planes_cache = {}
             t0 = time.perf_counter()
-            scored = []
-            for p0 in range(0, T, args.targetsPerBatch):
-                scored.extend(_score_batch(
-                    matches[p0:p0 + args.targetsPerBatch], qplanes, cache,
-                    args, excluded, planes_cache))
+            scored = score_mask_partitions(matches, qplanes, cache, args,
+                                           excluded, planes_cache)
             dt = time.perf_counter() - t0
             assert len(scored) == T
             best = max(best, T / dt)
@@ -238,7 +235,7 @@ def _bench_gradients_production():
     from colormipsearch_tpu.imageproc import load_image, label_regions_mask
     from colormipsearch_tpu.imageproc.filters import max_filter_rgb
     from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
-    from colormipsearch_tpu.cmd.gradientscores_cmd import _score_batch
+    from colormipsearch_tpu.cmd.gradientscores_cmd import score_mask_partitions
     from colormipsearch_tpu.model import (CDMatchEntity, ComputeFileType,
                                           EMNeuronEntity, FileData,
                                           LMNeuronEntity)
@@ -297,12 +294,9 @@ def _bench_gradients_production():
                 m = CDMatchEntity()
                 m.mask_image, m.matched_image = em, t
                 matches.append(m)
-            scored = []
             t0 = time.perf_counter()
-            for p0 in range(0, len(matches), args.targetsPerBatch):
-                scored.extend(_score_batch(
-                    matches[p0:p0 + args.targetsPerBatch], qplanes, cache,
-                    args, excluded, planes_cache))
+            scored = score_mask_partitions(matches, qplanes, cache, args,
+                                           excluded, planes_cache)
             return len(scored), time.perf_counter() - t0
 
         # mask 0: cold pass INCLUDING one-time XLA compiles

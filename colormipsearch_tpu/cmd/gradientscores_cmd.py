@@ -217,10 +217,9 @@ def run(args: argparse.Namespace) -> int:
                 from ..cds.shape_oracle import build_mirrored_query_shape_planes
                 qplanes_m = build_mirrored_query_shape_planes(
                     mask_img, excluded, roi_mask)
-            for part in partition_collection(mask_matches, args.targetsPerBatch):
-                scored = _score_batch(part, qplanes, cache, args, excluded,
-                                      planes_cache, qplanes_m)
-                scored_for_mask.extend(scored)
+            scored_for_mask.extend(score_mask_partitions(
+                mask_matches, qplanes, cache, args, excluded,
+                planes_cache, qplanes_m))
         # normalization runs over the selected+scored matches only
         # (CalculateGradientScoresCmd.java:213-247: normalizeScores over
         # allScoredMatches, grouped by mask entity internally)
@@ -244,6 +243,49 @@ def run(args: argparse.Namespace) -> int:
 
 _PLANES_CACHE_MAX = 2048
 
+# guards the plane cache for the one-partition lookahead overlap (the
+# only concurrent writer); RLock because memguard relief runs inside an
+# already-locked insert
+import threading as _threading
+
+_CACHE_LOCK = _threading.RLock()
+
+
+def _prefetch_safely(targets, cache, args, excluded, planes_cache):
+    """Lookahead-thread entry: a failed prefetch must never kill the
+    run — the scoring path rebuilds misses itself."""
+    try:
+        _prefetch_planes(targets, cache, args, excluded, planes_cache)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        LOG.warning("plane lookahead failed (will rebuild inline): %s", e)
+
+
+def score_mask_partitions(mask_matches, qplanes, cache, args, excluded,
+                          planes_cache, qplanes_m=None):
+    """Score one mask's matches in targetsPerBatch partitions, with a
+    ONE-PARTITION plane lookahead: partition i+1's decode + device
+    plane build run on a side thread while i scores (the cold path is
+    decode+upload bound; the plane cache is lock-guarded for exactly
+    this overlap). Used by the CLI run loop and the bench."""
+    scored_all = []
+    parts = partition_collection(mask_matches, args.targetsPerBatch)
+    lookahead = None
+    for pi, part in enumerate(parts):
+        if pi + 1 < len(parts):
+            nxt = [m.matched_image for m in parts[pi + 1]
+                   if m.matched_image]
+            lookahead = _threading.Thread(
+                target=_prefetch_safely,
+                args=(nxt, cache, args, excluded, planes_cache),
+                daemon=True)
+            lookahead.start()
+        scored_all.extend(_score_batch(part, qplanes, cache, args,
+                                       excluded, planes_cache, qplanes_m))
+        if lookahead is not None:
+            lookahead.join()
+            lookahead = None
+    return scored_all
+
 
 def _planes_nbytes(planes) -> int:
     if planes is None or not hasattr(planes, "t_above"):
@@ -266,25 +308,26 @@ def _insert_plane(planes_cache: dict, key, planes) -> None:
     pure entry cap at production frames (~4.1 MB/target) would let the
     cache reach ~8 GB of HBM — a nondeterministic RESOURCE_EXHAUSTED
     on the shared-HBM chip (CLAUDE.md)."""
-    budget = _PLANES_CACHE_MB << 20
-    # recomputed per insert: <= ~1000 cheap attr reads, negligible next
-    # to the per-target decode+upload this call sits behind
-    size = sum(_planes_nbytes(p) for p in planes_cache.values()) \
-        + _planes_nbytes(planes)
-    while planes_cache and (len(planes_cache) >= _PLANES_CACHE_MAX
-                            or size > budget):
-        old = planes_cache.pop(next(iter(planes_cache)))  # oldest (LRU)
-        size -= _planes_nbytes(old)
-    planes_cache[key] = planes
+    with _CACHE_LOCK:
+        budget = _PLANES_CACHE_MB << 20
+        # recomputed per insert: <= ~1000 cheap attr reads, negligible
+        # next to the per-target decode+upload this call sits behind
+        size = sum(_planes_nbytes(p) for p in planes_cache.values()) \
+            + _planes_nbytes(planes)
+        while planes_cache and (len(planes_cache) >= _PLANES_CACHE_MAX
+                                or size > budget):
+            old = planes_cache.pop(next(iter(planes_cache)))  # LRU-oldest
+            size -= _planes_nbytes(old)
+        planes_cache[key] = planes
 
-    def evict_half() -> int:
-        n = len(planes_cache) // 2
-        for _ in range(n):
-            planes_cache.pop(next(iter(planes_cache)))
-        return n
+        def evict_half() -> int:
+            n = len(planes_cache) // 2
+            for _ in range(n):
+                planes_cache.pop(next(iter(planes_cache)))
+            return n
 
-    from ..utils.memguard import shared_guard
-    shared_guard().relieve(evict_half, "plane-cache")
+        from ..utils.memguard import shared_guard
+        shared_guard().relieve(evict_half, "plane-cache")
 
 
 def _planes_host(target, cache: MIPsCache, args, excluded):
@@ -438,11 +481,12 @@ def _prefetch_planes(targets, cache, args, excluded, planes_cache):
     CMS_DEVICE_PLANES=0 restores the host build."""
     seen = set()
     missing = []
-    for t in targets:
-        key = t.entity_id or t.mip_id
-        if key not in planes_cache and key not in seen:
-            seen.add(key)
-            missing.append((key, t))
+    with _CACHE_LOCK:
+        for t in targets:
+            key = t.entity_id or t.mip_id
+            if key not in planes_cache and key not in seen:
+                seen.add(key)
+                missing.append((key, t))
     if not missing:
         return
     pool = _planes_pool(args)
@@ -485,13 +529,15 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
     LRU eviction: a full-cache clear would trigger an O(everything)
     recompute spike mid-run."""
     key = target.entity_id or target.mip_id
-    if key in planes_cache:
-        planes_cache[key] = planes_cache.pop(key)  # refresh LRU order
-        return planes_cache[key]
+    with _CACHE_LOCK:
+        if key in planes_cache:
+            planes_cache[key] = planes_cache.pop(key)  # refresh LRU
+            return planes_cache[key]
     _prefetch_planes([target], cache, args, excluded, planes_cache)
-    planes = planes_cache.get(key)
-    if planes is not None:
-        planes_cache[key] = planes_cache.pop(key)
+    with _CACHE_LOCK:
+        planes = planes_cache.get(key)
+        if planes is not None:
+            planes_cache[key] = planes_cache.pop(key)
     return planes
 
 
