@@ -176,3 +176,25 @@ def test_ga_sigkill_then_resume_converges(tmp_path):
     r = _run(_ga_cmd(crash_db))
     assert r.returncode == 0, r.stderr[-2000:]
     assert _canonical_store(crash_db) == clean
+
+
+@pytest.mark.slow
+def test_ga_grid_blocks_union_equals_single_run(tmp_path):
+    """Two gradientScores grid-block processes (--process-id 0/1 of 2)
+    over one store produce exactly the single-process result — the
+    reference's LSF GA job-array semantics (submitGAJob.sh:50-60)."""
+    _build_workspace(tmp_path)
+    single_db = str(tmp_path / "single.db")
+    blocks_db = str(tmp_path / "blocks.db")
+    for db in (single_db, blocks_db):
+        r = _run(_search_cmd(tmp_path, db))
+        assert r.returncode == 0, r.stderr[-2000:]
+    assert _canonical_store(single_db) == _canonical_store(blocks_db)
+
+    r = _run(_ga_cmd(single_db))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for pid in ("0", "1"):
+        r = _run(_ga_cmd(blocks_db) + ["--process-id", pid,
+                                       "--process-count", "2"])
+        assert r.returncode == 0, r.stderr[-2000:]
+    assert _canonical_store(blocks_db) == _canonical_store(single_db)
