@@ -267,11 +267,18 @@ def score_mask_partitions(mask_matches, qplanes, cache, args, excluded,
     plane build run on a side thread while i scores (the cold path is
     decode+upload bound; the plane cache is lock-guarded for exactly
     this overlap). Used by the CLI run loop and the bench."""
+    import os as _os
+    # default OFF: on the 2-core dev host the proper A/B (2 partitions
+    # per mask, batch 64) read lookahead 54 ms/target cold vs 46 ms
+    # without — decode already saturates the cores and the extra
+    # thread only adds contention. Opt in (CMS_GRAD_LOOKAHEAD=1) on
+    # many-core production hosts where decode leaves cores idle.
+    use_lookahead = _os.environ.get("CMS_GRAD_LOOKAHEAD", "0") == "1"
     scored_all = []
     parts = partition_collection(mask_matches, args.targetsPerBatch)
     lookahead = None
     for pi, part in enumerate(parts):
-        if pi + 1 < len(parts):
+        if use_lookahead and pi + 1 < len(parts):
             nxt = [m.matched_image for m in parts[pi + 1]
                    if m.matched_image]
             lookahead = _threading.Thread(
