@@ -61,6 +61,29 @@ def add_parser(subparsers) -> None:
                    help="published LM stacks JSON keyed by slideCode "
                         "(publishedLMImages analogue; sets "
                         "VisuallyLosslessStack / Gal4Expression)")
+    p.add_argument("--published-lm-images", default=None,
+                   help="offline PublishedLMImage docs JSON (list of "
+                        "{sampleRef, alignmentSpace, files,...}; the "
+                        "publishedLMImage store is used when --db is "
+                        "given and this arg is absent) — PPP export's "
+                        "LM 3D-stack source (EMPPPMatchesExporter"
+                        ".retrieveEMAndLMSourceData:160-169)")
+    p.add_argument("--pppm-urls", default=None,
+                   help="offline PPPmURLs docs JSON (list of {id, "
+                        "uploadedFiles, uploadedThumbnails}, keyed by "
+                        "PPP match id or sourceEmName-sourceLmName); "
+                        "the pppmURL store is used when --db is given "
+                        "and this arg is absent (PPPmURLs.java:11-32)")
+    p.add_argument("--jacs-samples-file", default=None,
+                   help="offline LM sample docs JSON (list of CDMIPSample "
+                        "dicts with a `name` field) for PPP target "
+                        "enrichment; with --jacs-url samples are fetched "
+                        "live (JacsDataGetter.retrieveLMSamplesByName)")
+    p.add_argument("--published-alignment-space-alias", nargs="*",
+                   default=[], metavar="SPACE=ALIAS",
+                   help="alignment-space aliases accepted when matching "
+                        "published LM images "
+                        "(ExportData4NBCmd.java:84-87,256-259)")
     p.add_argument("--size", type=int, default=-1,
                    help="cap matches per mask")
     p.add_argument("--max-matched-targets", type=int, default=-1,
@@ -499,42 +522,317 @@ def _export_mips(args) -> int:
     return 0
 
 
+def _parse_as_aliases(pairs) -> Dict[str, set]:
+    """SPACE=ALIAS args -> {space: {aliases}}
+    (ExportData4NBCmd.java:256-259)."""
+    out: Dict[str, set] = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            continue
+        space, alias = pair.split("=", 1)
+        out.setdefault(space, set()).add(alias)
+    return out
+
+
+def _load_lm_samples(args):
+    """name -> CDMIPSample resolver: offline fixture list (docs carry
+    `name`) or live `/data/samples?name=...`
+    (CachedDataHelper.retrieveLMSamplesByName:63-75)."""
+    from ..jacs.client import CDMIPSample
+    path = getattr(args, "jacs_samples_file", None)
+    if path:
+        with open(path) as f:
+            docs = json.load(f)
+        fixture = {}
+        for d in docs:
+            s = CDMIPSample.from_dict(d)
+            if s and s.name:
+                fixture[s.name] = s
+
+        def lookup(names):
+            return {n: fixture[n] for n in names if n in fixture}
+        return lookup
+    jacs_url = getattr(args, "jacs_url", None)
+    if jacs_url:
+        from ..jacs.client import JacsClient
+        client = JacsClient(jacs_url,
+                            authorization=getattr(args, "authorization",
+                                                  None))
+        cache: Dict[str, object] = {}
+
+        def lookup(names):
+            missing = sorted(n for n in names if n and n not in cache)
+            if missing:
+                for s in client.retrieve_lm_samples_by_name(missing):
+                    if s.name:
+                        cache[s.name] = s
+            return {n: cache[n] for n in names if n in cache}
+        return lookup
+    return lambda names: {}
+
+
+def _find_published_lm3d_stack(sample_ref, alignment_space, lm_images_by_ref,
+                               as_aliases) -> str | None:
+    """First published LM image for the sample in the export alignment
+    space (or an alias) carrying a VisuallyLosslessStack
+    (EMPPPMatchesExporter.findPublishedLM3DStack:261-276)."""
+    aliases = as_aliases.get(alignment_space or "", set())
+    for img in lm_images_by_ref.get(sample_ref, []):
+        img_as = img.get("alignmentSpace")
+        if img_as != alignment_space and img_as not in aliases:
+            continue
+        url = (img.get("files") or {}).get("VisuallyLosslessStack")
+        if url:
+            return url
+    return None
+
+
 def _export_ppp_matches(args) -> int:
-    out_dir = args.output_dir or "."
-    os.makedirs(out_dir, exist_ok=True)
-    n = 0
+    """EM PPP matches export — the full EMPPPMatchesExporter pipeline
+    (cmd/dataexport/EMPPPMatchesExporter.java:84-276): drop matches
+    without source screenshots, group per mask publishedName ordered by
+    rank, enrich targets from LM samples + published LM images + the
+    per-match pppmURL store, convert to PPPMatchedTarget DTOs with
+    screenshot FileTypes, relativize URLs, map image stores, cap
+    same-published-name matches, and write grouped results keyed by the
+    EM body ref id."""
+    from ..model import PPPMatchEntity, PPPScreenshotType
+    url_t, store_m, pub_urls, _lm_stacks = build_transformers(args)
+    jacs_mips = _load_jacs_mips_fixture(args)
+    get_samples = _load_lm_samples(args)
+    as_aliases = _parse_as_aliases(args.published_alignment_space_alias)
+    store = None
     if args.db:
-        # DB-backed PPP export (EMPPPMatchesExporter over the pppMatches
-        # collection)
         from .backends import get_store
         store = get_store(args.db)
-        for em_name in store.list_ppp_em_names():
-            matches = store.find_ppp_matches_by_em(em_name)
-            if args.size > 0:
-                matches = matches[:args.size]
-            if not matches:
+
+    offline_lm_images = None
+    if getattr(args, "published_lm_images", None):
+        with open(args.published_lm_images) as f:
+            offline_lm_images = json.load(f)
+
+    def find_lm_images_by_ref(sample_refs) -> Dict[str, List[dict]]:
+        if offline_lm_images is not None:
+            docs = [d for d in offline_lm_images
+                    if d.get("sampleRef") in sample_refs]
+        elif store is not None and hasattr(store, "find_published_lm_images"):
+            docs = store.find_published_lm_images(
+                sample_refs=sorted(sample_refs)) if sample_refs else []
+        else:
+            docs = []
+        by_ref: Dict[str, List[dict]] = {}
+        for d in docs:
+            by_ref.setdefault(d.get("sampleRef"), []).append(d)
+        return by_ref
+
+    offline_pppm_urls = None
+    if getattr(args, "pppm_urls", None):
+        with open(args.pppm_urls) as f:
+            offline_pppm_urls = {str(d.get("_id", d.get("id"))): d
+                                 for d in json.load(f)
+                                 if d.get("_id", d.get("id")) is not None}
+
+    def match_url_key(m) -> str:
+        """Lookup key into the pppmURL map: the match entity id, or the
+        natural sourceEmName-sourceLmName pair for id-less fs-sourced
+        matches (offline fixtures key on it)."""
+        return (str(m.entity_id) if m.entity_id is not None
+                else f"{m.source_em_name}-{m.source_lm_name}")
+
+    def pppm_urls_for(group) -> Dict[str, dict]:
+        """match_url_key -> PPPmURLs doc
+        (PublishedURLsDao.findByEntityIds over pppmURL,
+        EMPPPMatchesExporter.java:177-180)."""
+        if offline_pppm_urls is not None:
+            out = {}
+            for m in group:
+                doc = offline_pppm_urls.get(str(m.entity_id)) \
+                    or offline_pppm_urls.get(
+                        f"{m.source_em_name}-{m.source_lm_name}")
+                if doc:
+                    out[match_url_key(m)] = doc
+            return out
+        if store is not None and hasattr(store, "find_pppm_urls_by_ids"):
+            return store.find_pppm_urls_by_ids(
+                [m.entity_id for m in group])
+        return {}
+
+    def read_all_by_mask():
+        if store is not None:
+            for em_name in store.list_ppp_em_names():
+                yield em_name, store.find_ppp_matches_by_em(em_name)
+            return
+        for fname in sorted(os.listdir(args.matchesDir)):
+            if not fname.endswith(".json"):
                 continue
-            doc = {"inputImage": (matches[0].mask_image.to_dict()
-                                  if matches[0].mask_image else None),
-                   "results": [m.to_dict() for m in matches]}
-            with open(os.path.join(out_dir, f"{em_name}.json"), "w") as f:
-                json.dump(doc, f, indent=2)
-            n += len(matches)
-        LOG.info("exported %d PPP matches", n)
-        return 0
-    for fname in sorted(os.listdir(args.matchesDir)):
-        if not fname.endswith(".json"):
-            continue
-        with open(os.path.join(args.matchesDir, fname)) as f:
-            doc = json.load(f)
-        results = doc.get("results", [])
+            with open(os.path.join(args.matchesDir, fname)) as f:
+                doc = json.load(f)
+            matches = [PPPMatchEntity.from_dict(r)
+                       for r in doc.get("results", [])]
+            mask = doc.get("inputImage")
+            for m in matches:
+                if m.mask_image is None and mask:
+                    from ..model import entity_from_dict
+                    m.mask_image = entity_from_dict(mask)
+            yield fname[:-5], matches
+
+    out_dir = args.output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    n = n_dropped = 0
+    for mask_id, all_matches in read_all_by_mask():
+        # order ascending by rank (SortCriteria("rank", ASC), :112-114)
+        all_matches.sort(key=lambda m: m.rank if m.rank is not None
+                         else float("inf"))
+        # filter out matches without source screenshots (:119-121)
+        matches = [m for m in all_matches if m.has_source_image_files]
         if args.size > 0:
-            results = results[:args.size]
-        out = {"inputImage": doc.get("inputImage"), "results": results}
-        with open(os.path.join(out_dir, fname), "w") as f:
-            json.dump(out, f, indent=2)
-        n += len(results)
-    LOG.info("exported %d PPP matches", n)
+            matches = matches[:args.size]
+        if not matches:
+            LOG.info("no exportable PPP matches for %s (%d read)",
+                     mask_id, len(all_matches))
+            continue
+        # group by the mask's publishedName (:131-141)
+        groups: Dict[str, List[PPPMatchEntity]] = {}
+        for m in matches:
+            pub = (m.mask_image.published_name
+                   if m.mask_image else None) or mask_id
+            groups.setdefault(pub, []).append(m)
+        for pub_name, group in groups.items():
+            em = group[0].mask_image
+            em_meta = neuron_metadata(em, url_t, store_m, pub_urls,
+                                      jacs_mips=jacs_mips) \
+                if em is not None else {"publishedName": pub_name}
+            # EM body ref without the "EMBody#" prefix names the output
+            # file (EMNeuronEntity.metadata:56 via getSourceRefIdOnly +
+            # writeGroupedItemsList keyed by getEmRefId:151); the field
+            # itself is @JsonIgnore (dto/EMNeuronMetadata.java:19-21) so
+            # it never serializes into inputImage
+            em_ref_id = (em.source_ref_id.split("#")[-1]
+                         if em is not None and em.source_ref_id else None)
+            # PPP masks/targets validate in the default group only:
+            # mipId is @NotBlank solely in WithAllRequiredAttrs
+            # (dto/AbstractNeuronMetadata.java:34,84; PPP EM masks are
+            # body-level records)
+            missing = [a for a in validate_export_metadata(em_meta)
+                       if a != "mipId"] \
+                if args.validation != "off" else []
+            if missing:
+                LOG.warning("skipping PPP export for %s: missing attrs %s",
+                            pub_name, missing)
+                n_dropped += len(group)
+                continue
+            em_store = (em_meta.get("files") or {}).get("store")
+            # sample + published-image source data (:160-169)
+            sample_names = {m.extract_lm_sample_name() for m in group}
+            samples = get_samples(sorted(x for x in sample_names if x))
+            lm_images_by_ref = find_lm_images_by_ref(
+                {s.ref() for s in samples.values()})
+            urls_by_id = pppm_urls_for(group)
+            results = []
+            for m in group:
+                t = m.matched_target_metadata()
+                target = (neuron_metadata(m.matched_image)
+                          if m.matched_image is not None else {})
+                # LMPPPNeuronMetadata: PPP targets carry no MIP id and
+                # inherit space/area from the EM mask (:210-219)
+                target.pop("mipId", None)
+                target["type"] = "LMImage"
+                target.setdefault("alignmentSpace",
+                                  em_meta.get("alignmentSpace"))
+                target.setdefault("anatomicalArea",
+                                  em_meta.get("anatomicalArea"))
+                target.setdefault("objective", m.source_objective())
+                if m.source_lm_library:
+                    target.setdefault("libraryName", m.source_lm_library)
+                files: Dict[str, str] = {}
+                sample = samples.get(m.extract_lm_sample_name())
+                if sample is not None:
+                    lm3d = _find_published_lm3d_stack(
+                        sample.ref(), target.get("alignmentSpace"),
+                        lm_images_by_ref, as_aliases)
+                    target["id"] = sample.id
+                    if sample.lm_line_name():
+                        target["publishedName"] = sample.lm_line_name()
+                    if sample.slide_code:
+                        target["slideCode"] = sample.slide_code
+                    if sample.gender:
+                        from ..model import Gender
+                        g = Gender.from_val(sample.gender)
+                        if g is not None:
+                            target["gender"] = g.name
+                    if sample.mounting_protocol:
+                        target["mountingProtocol"] = sample.mounting_protocol
+                    tfiles = dict(target.get("files") or {})
+                    if lm3d:
+                        tfiles["VisuallyLosslessStack"] = \
+                            url_t.relativize_url("VisuallyLosslessStack",
+                                                 lm3d)
+                    if store_m is not None:
+                        tfiles["store"] = store_m.get_image_store(
+                            target.get("alignmentSpace"),
+                            target.get("libraryName"))
+                    if tfiles:
+                        target["files"] = tfiles
+                    # per-match screenshot URLs from the pppmURL store
+                    # (:235-250); absent URL records log an error and
+                    # leave the match file unset
+                    urls_doc = urls_by_id.get(match_url_key(m))
+                    if m.has_source_image_files:
+                        if urls_doc:
+                            uploaded = urls_doc.get("uploadedFiles") or {}
+                            thumbs = urls_doc.get("uploadedThumbnails") or {}
+                            for tname in m.source_image_files:
+                                st = PPPScreenshotType.from_name(tname)
+                                if st is None:
+                                    continue
+                                u = uploaded.get(tname)
+                                if u:
+                                    ft = st.file_type.name
+                                    files[ft] = url_t.relativize_url(ft, u)
+                                if st.has_thumbnail and thumbs.get(tname):
+                                    ft = st.thumbnail_file_type.name
+                                    files[ft] = url_t.relativize_url(
+                                        ft, thumbs[tname])
+                            if files and em_store:
+                                # the EM image's store applies to the
+                                # match screenshots too (:250)
+                                files["store"] = em_store
+                        else:
+                            LOG.error(
+                                "PPP match %s-%s has screenshots but no "
+                                "published URLs for %s", m.source_em_name,
+                                m.source_lm_name, m.entity_id)
+                else:
+                    LOG.error("No sample found for %s", m.source_lm_name)
+                t["image"] = target
+                if files:
+                    t["files"] = files
+                results.append(t)
+            # only matches that resolved published match files export
+            # (hasMatchFiles filter, :183)
+            results = [r for r in results if r.get("files")]
+            # cap same-published-name matches per EM mask, then order
+            # by rank (:184-200)
+            cap = args.max_matches_with_same_name_per_mip
+            if cap > 0:
+                by_name: Dict[str, List[dict]] = {}
+                for r in results:
+                    by_name.setdefault(
+                        r["image"].get("publishedName"), []).append(r)
+                results = [r for g in by_name.values()
+                           for r in sorted(
+                               g, key=lambda x: x.get("pppmRank") or 0)[:cap]]
+            results.sort(key=lambda x: x.get("pppmRank") or 0)
+            if not results:
+                n_dropped += len(group)
+                continue
+            # write keyed by the EM body ref id (:150-151)
+            key = em_ref_id or pub_name
+            with open(os.path.join(out_dir, f"{key}.json"), "w") as f:
+                json.dump({"inputImage": em_meta, "results": results},
+                          f, indent=2)
+            n += len(results)
+    LOG.info("exported %d PPP matches (%d dropped)", n, n_dropped)
     return 0
 
 

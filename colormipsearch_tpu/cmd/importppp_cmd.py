@@ -38,8 +38,11 @@ def add_parser(subparsers) -> None:
 
 
 def _attach_screenshots(match, screenshots_dir: str) -> None:
-    """Attach screenshot files by PPP suffix (FileType.findFileTypeByPPPSuffix,
-    model/FileType.java; ImportPPPResultsCmd screenshot handling)."""
+    """Record screenshot SOURCE image files by PPP suffix
+    (PPPMatchEntity.addSourceImageFile via ImportPPPResultsCmd's
+    screenshot scan): the entity keeps only the screenshot TYPE ->
+    image-name map; exported match files are resolved later from the
+    pppmURL published store (EMPPPMatchesExporter.java:235-250)."""
     prefix = f"{match.source_em_name}-{match.source_lm_name}"
     try:
         names = os.listdir(screenshots_dir)
@@ -47,15 +50,7 @@ def _attach_screenshots(match, screenshots_dir: str) -> None:
         return
     for name in names:
         if name.startswith(prefix):
-            ft = FileType.find_by_ppp_suffix(name)
-            if ft is not None:
-                match.match_files[ft] = name
-                if ft is FileType.CDMBest:
-                    # a CH screenshot also publishes its thumbnail ref
-                    # (PPPScreenshotType.CH -> CDMBest + CDMBestThumbnail,
-                    # model/PPPScreenshotType.java:9)
-                    match.match_files[FileType.CDMBestThumbnail] = \
-                        name.replace(".png", ".jpg")
+            match.add_source_image_file(name)
 
 
 def run(args: argparse.Namespace) -> int:

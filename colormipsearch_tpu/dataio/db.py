@@ -23,7 +23,7 @@ import json
 import os
 import sqlite3
 import threading
-from typing import List, Optional, Sequence, Set
+from typing import Dict, List, Optional, Sequence, Set
 
 from ..model.entities import CDMatchEntity, NeuronEntity, entity_from_dict
 from ..model.enums import ProcessingType
@@ -82,6 +82,12 @@ CREATE TABLE IF NOT EXISTS published_lm_images (
     UNIQUE(sample_ref, slide_code, objective, alignment_space));
 CREATE INDEX IF NOT EXISTS idx_pli_sample ON published_lm_images(sample_ref);
 CREATE INDEX IF NOT EXISTS idx_pli_slide ON published_lm_images(slide_code);
+
+-- per-PPP-match published screenshot URLs (PPPmURLs.java, store name
+-- "pppmURL" via @PersistenceInfo; read by EMPPPMatchesExporter
+-- .updateMatchedResultsMetadata:177-182 keyed by match entity id)
+CREATE TABLE IF NOT EXISTS pppm_urls (
+    match_id TEXT PRIMARY KEY, doc TEXT NOT NULL);
 """
 
 
@@ -262,7 +268,16 @@ class SqliteStore:
             for m in matches:
                 if not m.source_em_name or not m.source_lm_name:
                     continue
-                if m.entity_id is None:
+                # a natural-key re-import keeps the ORIGINAL entity id
+                # (pppmURL records key on it; the reference's Mongo
+                # upsert likewise never rewrites _id)
+                row = self._conn.execute(
+                    "SELECT entity_id FROM ppp_matches WHERE em_name=? "
+                    "AND lm_name=?",
+                    (m.source_em_name, m.source_lm_name)).fetchone()
+                if row is not None:
+                    m.entity_id = row[0]
+                elif m.entity_id is None:
                     m.entity_id = self.id_generator.generate_id()
                 self._conn.execute(
                     "INSERT INTO ppp_matches VALUES (?,?,?,?,?) "
@@ -287,6 +302,42 @@ class SqliteStore:
                 "SELECT doc FROM ppp_matches WHERE em_name = ? "
                 "ORDER BY rank", (em_name,)).fetchall()
         return [PPPMatchEntity.from_dict(json.loads(r[0])) for r in rows]
+
+    # --- PPPmURLs DAO (dao/PublishedURLsDao.java over PPPmURLs.java,
+    # store "pppmURL"): per-match published screenshot URL + thumbnail
+    # maps keyed by PPP match entity id ---
+
+    def upsert_pppm_urls(self, docs: Sequence[dict]) -> int:
+        """docs: [{"_id"|"id": matchId,
+        "uploadedFiles": {screenshotType: url},
+        "uploadedThumbnails": {screenshotType: url}}]
+        (PPPmURLs.java:11-32)."""
+        n = 0
+        with self._lock:
+            for d in docs:
+                mid = d.get("_id", d.get("id"))
+                if mid is None:
+                    continue
+                self._conn.execute(
+                    "INSERT INTO pppm_urls VALUES (?,?) "
+                    "ON CONFLICT(match_id) DO UPDATE SET doc=excluded.doc",
+                    (str(mid), json.dumps(d)))
+                n += 1
+            self._conn.commit()
+        return n
+
+    def find_pppm_urls_by_ids(self, match_ids) -> Dict[str, dict]:
+        """PublishedURLsDao.findByEntityIds over the pppmURL store
+        (EMPPPMatchesExporter.java:177-180)."""
+        ids = [str(i) for i in match_ids if i is not None]
+        if not ids:
+            return {}
+        qs = ",".join("?" * len(ids))
+        with self._lock:
+            rows = self._conn.execute(
+                f"SELECT match_id, doc FROM pppm_urls WHERE match_id "
+                f"IN ({qs})", ids).fetchall()
+        return {mid: json.loads(doc) for mid, doc in rows}
 
     # --- field-update handlers (Set/Append/Remove/Inc/SetOnCreate,
     # dao/AbstractMongoDao.update + MongoDaoHelper.java:255-295) ---

@@ -203,6 +203,7 @@ class MongoStore:
         # NeuronPublishedURLs.java:9 / PublishedLMImage.java:12)
         self.published_urls = self._db["publishedURL"]
         self.published_lm_images = self._db["publishedLMImage"]
+        self.pppm_urls = self._db["pppmURL"]
         self.id_generator = TimebasedIdGenerator()
         for key in ("mipId", "libraryName", "publishedName"):
             try:
@@ -333,6 +334,28 @@ class MongoStore:
             d.pop("_id", None)
             out.append(PPPMatchEntity.from_dict(d))
         return out
+
+    # --- PPPmURLs DAO (PPPmURLs.java, collection "pppmURL"; keyed by
+    # PPP match entity id, read at EMPPPMatchesExporter.java:177-182) ---
+
+    def upsert_pppm_urls(self, docs: Sequence[dict]) -> int:
+        n = 0
+        for d in docs:
+            mid = d.get("_id", d.get("id"))
+            if mid is None:
+                continue
+            doc = dict(d)
+            doc["_id"] = str(mid)
+            self.pppm_urls.replace_one({"_id": str(mid)}, doc, upsert=True)
+            n += 1
+        return n
+
+    def find_pppm_urls_by_ids(self, match_ids):
+        ids = [str(i) for i in match_ids if i is not None]
+        if not ids:
+            return {}
+        return {str(d["_id"]): dict(d)
+                for d in self.pppm_urls.find({"_id": {"$in": ids}})}
 
     # --- field-update handlers (MongoDaoHelper.java:255-295) ---
 

@@ -32,10 +32,12 @@ LOG = logging.getLogger(__name__)
 class CDMIPSample:
     """LM sample metadata (cmd/jacsdata/CDMIPSample.java subset)."""
     id: Optional[str] = None
+    name: Optional[str] = None
     line: Optional[str] = None
     publishing_name: Optional[str] = None
     slide_code: Optional[str] = None
     gender: Optional[str] = None
+    mounting_protocol: Optional[str] = None
     release_label: Optional[str] = None
     published_to_staging: bool = True
     publishing_error: Optional[str] = None
@@ -45,10 +47,12 @@ class CDMIPSample:
         if d is None:
             return None
         return cls(id=d.get("_id"),
+                   name=d.get("name"),
                    line=d.get("line"),
                    publishing_name=d.get("publishingName"),
                    slide_code=d.get("slideCode"),
                    gender=d.get("gender"),
+                   mounting_protocol=d.get("mountingProtocol"),
                    release_label=d.get("releaseLabel"),
                    published_to_staging=d.get("publishedToStaging", True),
                    publishing_error=d.get("publishingError"))
@@ -56,6 +60,10 @@ class CDMIPSample:
     def ref(self) -> str:
         """Reference key (CDMIPSample.indexByRef: "Sample#" + id)."""
         return f"Sample#{self.id}"
+
+    def lm_line_name(self) -> Optional[str]:
+        """Published line name (CDMIPSample.lmLineName:78-80)."""
+        return self.publishing_name if self.publishing_name else self.line
 
 
 @dataclass
@@ -257,6 +265,15 @@ class JacsClient:
             return []
         batch = self._get("/emdata/emBodies", refs=",".join(em_body_refs))
         return [CDMIPBody.from_dict(d) for d in (batch or [])]
+
+    def retrieve_lm_samples_by_name(
+            self, sample_names: Sequence[str]) -> List["CDMIPSample"]:
+        """`/data/samples?name=...` for a sample-name set
+        (JacsDataGetter.httpRetrieveLMSamplesByName:43-59)."""
+        if not sample_names:
+            return []
+        batch = self._get("/data/samples", name=",".join(sample_names))
+        return [CDMIPSample.from_dict(d) for d in (batch or [])]
 
 
 def retrieve_library_name_mapping(config_url: str,

@@ -10,6 +10,7 @@ the two toolsets can read each other's JSON results.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Set
 
@@ -326,6 +327,11 @@ class CDMatchEntity(AbstractMatchEntity):
         return m
 
 
+_LM_REG_UNISEX_RE = re.compile(r"(.+)_REG_UNISEX_(.+)", re.IGNORECASE)
+_OBJECTIVE_RE = re.compile(r"\d+x", re.IGNORECASE)
+_DEFAULT_PPP_OBJECTIVE = "40x"
+
+
 @dataclass
 class PPPMatchEntity(AbstractMatchEntity):
     """PatchPerPix match (PPPMatchEntity.java:15-35)."""
@@ -337,8 +343,55 @@ class PPPMatchEntity(AbstractMatchEntity):
     aggregate_coverage: Optional[float] = None
     rank: Optional[float] = None
     skeleton_matches: List[Dict[str, Any]] = field(default_factory=list)
+    # PPPScreenshotType name -> screenshot image name
+    # (PPPMatchEntity.sourceImageFiles, set at import by
+    # addSourceImageFile; the EXPORT-side match files come from the
+    # pppmURL published store, not from here)
+    source_image_files: Dict[str, str] = field(default_factory=dict)
 
     JSON_CLASS = _PPPMATCH_CLASS
+
+    def add_source_image_file(self, image_name: str) -> None:
+        """PPPMatchEntity.addSourceImageFile:129-137 — classify the
+        screenshot by suffix; unknown suffixes are ignored."""
+        from .enums import PPPScreenshotType
+        t = PPPScreenshotType.find_screenshot_type(image_name)
+        if t is not None:
+            self.source_image_files[t.name] = image_name
+
+    @property
+    def has_source_image_files(self) -> bool:
+        """PPPMatchEntity.hasSourceImageFiles:139-141."""
+        return bool(self.source_image_files)
+
+    def extract_lm_sample_name(self) -> Optional[str]:
+        """Strip the `_REG_UNISEX_<objective>` registration suffix
+        (PPPMatchEntity.extractLMSampleName:189-196)."""
+        if not self.source_lm_name:
+            return self.source_lm_name
+        m = _LM_REG_UNISEX_RE.match(self.source_lm_name)
+        return m.group(1) if m else self.source_lm_name
+
+    def source_objective(self) -> str:
+        """Objective parsed from the LM name's registration suffix,
+        defaulting to 40x (PPPMatchEntity.updateLMSampleInfo:198-216)."""
+        if self.source_lm_name:
+            m = _LM_REG_UNISEX_RE.match(self.source_lm_name)
+            if m and _OBJECTIVE_RE.search(m.group(2)):
+                return m.group(2)
+        return _DEFAULT_PPP_OBJECTIVE
+
+    def matched_target_metadata(self) -> Dict[str, Any]:
+        """PPPMatchedTarget DTO scaffold (PPPMatchEntity.metadata()
+        :174-187 + dto/PPPMatchedTarget.java:28-48): pppmRank/pppmScore
+        with score = int(abs(coverageScore)); targetImage and match
+        files are filled by the exporter from sample + pppmURL data."""
+        d: Dict[str, Any] = {"type": "PPPMatch",
+                             "mirrored": bool(self.mirrored),
+                             "pppmRank": self.rank,
+                             "pppmScore": int(abs(self.cov_score))
+                             if self.cov_score is not None else 0}
+        return d
 
     def to_dict(self, include_images: bool = True) -> Dict[str, Any]:
         d: Dict[str, Any] = {"class": self.JSON_CLASS}
@@ -360,6 +413,8 @@ class PPPMatchEntity(AbstractMatchEntity):
         d["mirrored"] = self.mirrored
         if self.skeleton_matches:
             d["sourceSkeletonMatches"] = self.skeleton_matches
+        if self.source_image_files:
+            d["sourceImageFiles"] = dict(self.source_image_files)
         if self.match_files:
             d["files"] = {t.name: v for t, v in self.match_files.items()}
         return d
@@ -381,6 +436,7 @@ class PPPMatchEntity(AbstractMatchEntity):
         m.rank = d.get("rank")
         m.mirrored = bool(d.get("mirrored", False))
         m.skeleton_matches = d.get("sourceSkeletonMatches") or []
+        m.source_image_files = dict(d.get("sourceImageFiles") or {})
         for name, v in (d.get("files") or {}).items():
             ft = FileType.from_name(name)
             if ft:

@@ -99,7 +99,9 @@ def test_copy_to_mips_store_cmd(tmp_path, fixtures_dir):
 
 
 def test_ppp_db_roundtrip(tmp_path):
-    """importPPPResults --db -> DB pppMatches -> exportData from DB."""
+    """importPPPResults --db (with screenshots) -> DB pppMatches +
+    pppmURL store -> full-pipeline exportData
+    (EMPPPMatchesExporter.java:84-252)."""
     import json
     import shutil
     from colormipsearch_tpu.cmd.main import main
@@ -107,13 +109,26 @@ def test_ppp_db_roundtrip(tmp_path):
     rd.mkdir(parents=True)
     for f in FIXTURES.glob("cov_scores_*.json"):
         shutil.copy(f, rd)
+    # screenshots for the top matches of both EM bodies (suffix-typed,
+    # PPPScreenshotType.findScreenshotType)
+    shots = tmp_path / "screenshots"
+    shots.mkdir()
+    pairs = [("1599747200-PFNp_c-RT_18U",
+              "BJD_100A01_AE_01-20170929_62_B1_REG_UNISEX_40x"),
+             ("484130600-SMP145-RT_18U",
+              "BJD_105A09_AE_01-20180112_62_A2_REG_UNISEX_40x")]
+    for em, lm in pairs:
+        for sfx in ("_1_raw.png", "_5_ch.png"):
+            (shots / f"{em}-{lm}{sfx}").write_bytes(b"png")
     db = str(tmp_path / "nb.db")
     rc = main(["importPPPResults", "-rd", str(tmp_path / "ppp"),
-               "-od", str(tmp_path / "ppp_json"), "--db", db])
+               "-od", str(tmp_path / "ppp_json"), "--db", db,
+               "--screenshots-dir", str(shots)])
     assert rc == 0
-    # re-import is idempotent (natural-key upserts)
+    # re-import is idempotent (natural-key upserts keep entity ids)
     rc = main(["importPPPResults", "-rd", str(tmp_path / "ppp"),
-               "-od", str(tmp_path / "ppp_json2"), "--db", db])
+               "-od", str(tmp_path / "ppp_json2"), "--db", db,
+               "--screenshots-dir", str(shots)])
     assert rc == 0
     from colormipsearch_tpu.cmd.backends import get_store
     store = get_store(db)
@@ -121,15 +136,45 @@ def test_ppp_db_roundtrip(tmp_path):
     assert len(ems) == 2
     first = store.find_ppp_matches_by_em(ems[0])
     assert first and first[0].cov_score is not None
+    assert sum(1 for m in first if m.has_source_image_files) == 1
+
+    # published data: pppmURL docs (natural-pair keyed fixture) +
+    # LM samples for the screenshot matches
+    urls = tmp_path / "pppm_urls.json"
+    urls.write_text(json.dumps(
+        [{"id": f"{em}-{lm}",
+          "uploadedFiles": {"RAW": f"https://s3/ppp/{em}-{lm}_raw.png",
+                            "CH": f"https://s3/ppp/{em}-{lm}_ch.png"},
+          "uploadedThumbnails": {
+              "CH": f"https://s3/ppp/{em}-{lm}_ch.jpg"}}
+         for em, lm in pairs]))
+    samples = tmp_path / "samples.json"
+    samples.write_text(json.dumps(
+        [{"_id": "101", "name": "BJD_100A01_AE_01-20170929_62_B1",
+          "publishingName": "BJD_100A01", "slideCode": "20170929_62_B1",
+          "gender": "f"},
+         {"_id": "102", "name": "BJD_105A09_AE_01-20180112_62_A2",
+          "publishingName": "BJD_105A09", "slideCode": "20180112_62_A2",
+          "gender": "m"}]))
 
     out = tmp_path / "ppp_export"
     rc = main(["exportData", "--exported-result-type", "EM_PPP_MATCHES",
-               "--db", db, "-od", str(out)])
+               "--db", db, "-od", str(out),
+               "--pppm-urls", str(urls),
+               "--jacs-samples-file", str(samples)])
     assert rc == 0
     docs = sorted(out.glob("*.json"))
-    assert len(docs) == 2
+    # one file per EM body, named by publishedName (no EM body ref in
+    # the raw PPP fixtures)
+    assert [p.name for p in docs] == ["1599747200.json", "484130600.json"]
     d = json.load(open(docs[0]))
-    assert d["results"] and "coverageScore" in d["results"][0]
-    # ranks ascending (reference orders PPP by rank)
-    ranks = [r.get("rank") or 0 for r in d["results"]]
-    assert ranks == sorted(ranks)
+    assert d["inputImage"]["publishedName"] == "1599747200"
+    # only the screenshot+URL-backed match exports, as PPPMatchedTarget
+    assert len(d["results"]) == 1
+    r = d["results"][0]
+    assert r["type"] == "PPPMatch"
+    assert "pppmRank" in r and "pppmScore" in r
+    assert r["image"]["publishedName"] == "BJD_100A01"
+    assert r["files"]["SignalMip"].endswith("_raw.png")
+    assert r["files"]["CDMBest"].endswith("_ch.png")
+    assert r["files"]["CDMBestThumbnail"].endswith("_ch.jpg")

@@ -114,3 +114,11 @@ def test_session_provenance(tmp_path):
     docs = store.list_sessions()
     assert len(docs) == 1 and docs[0]["params"]["xyShift"] == 2
     assert sid == s.entity_id
+
+
+def test_sqlite_ppp_and_pppm_urls(tmp_path):
+    """Same PPP/pppmURL scenario as the Mongo backends (shared DAO
+    semantics across stores)."""
+    from colormipsearch_tpu.dataio.db import SqliteStore
+    from tests.test_db_mongo import run_ppp_and_pppm_urls
+    run_ppp_and_pppm_urls(SqliteStore(str(tmp_path / "p.db")))

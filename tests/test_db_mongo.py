@@ -340,3 +340,41 @@ def test_bulk_write_round_trips():
     assert store.delete_matches_by_ids(ids) == 3
     arch_log = store._db["cdMatchesArchive"].op_log
     assert arch_log == [("bulk_write", 3)]
+
+
+def run_ppp_and_pppm_urls(store):
+    """Shared scenario (fake + real server): pppMatches upserts keep
+    entity ids over natural-key re-imports, and the pppmURL store
+    (PPPmURLs.java) round-trips keyed by those ids."""
+    from colormipsearch_tpu.model import PPPMatchEntity
+    ms = [PPPMatchEntity(source_em_name="em-A", source_lm_name=f"lm-{i}",
+                         rank=float(i), cov_score=-100.0 - i)
+          for i in range(3)]
+    assert store.upsert_ppp_matches(ms) == 3
+    ids = [m.entity_id for m in ms]
+    assert all(i is not None for i in ids)
+    # natural-key re-import preserves ids (pppmURL keys on them)
+    ms2 = [PPPMatchEntity(source_em_name="em-A", source_lm_name=f"lm-{i}",
+                          rank=float(i), cov_score=-200.0 - i)
+           for i in range(3)]
+    store.upsert_ppp_matches(ms2)
+    assert [m.entity_id for m in ms2] == ids
+    got = store.find_ppp_matches_by_em("em-A")
+    assert [m.cov_score for m in got] == [-200.0, -201.0, -202.0]
+    assert [m.entity_id for m in got] == ids
+    docs = [{"_id": i, "uploadedFiles": {"RAW": f"https://s3/{i}_raw.png"},
+             "uploadedThumbnails": {"CH": f"https://s3/{i}_ch.jpg"}}
+            for i in ids[:2]]
+    assert store.upsert_pppm_urls(docs) == 2
+    found = store.find_pppm_urls_by_ids(ids)
+    assert sorted(found) == sorted(str(i) for i in ids[:2])
+    assert found[str(ids[0])]["uploadedFiles"]["RAW"].endswith("_raw.png")
+    # upsert replaces
+    store.upsert_pppm_urls([{"_id": ids[0], "uploadedFiles": {"RAW": "u2"}}])
+    assert store.find_pppm_urls_by_ids([ids[0]])[str(ids[0])][
+        "uploadedFiles"] == {"RAW": "u2"}
+    assert store.find_pppm_urls_by_ids([]) == {}
+
+
+def test_mongo_ppp_and_pppm_urls():
+    run_ppp_and_pppm_urls(make_store())

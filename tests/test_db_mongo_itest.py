@@ -93,3 +93,8 @@ def test_real_mongo_selector_pushdown(real_store):
     n = real_store.update_matches_fields_by_refs(
         mask_refs=[1], updates={"tags": AppendField({"itest-tag"})})
     assert n == len(matches)
+
+
+def test_real_mongo_ppp_and_pppm_urls(real_store):
+    from test_db_mongo import run_ppp_and_pppm_urls
+    run_ppp_and_pppm_urls(real_store)
