@@ -96,15 +96,18 @@ def create_shape_match_scorer(query: Image,
                               mirror_mask: bool = True,
                               use_label_regions: bool = True,
                               excluded: Optional[np.ndarray] = None,
-                              roi_mask: Optional[Image] = None):
+                              roi_mask: Optional[Image] = None,
+                              border: int = 0):
     """Build query-side shape planes + a scoring closure
     (createShapeMatchCDSAlgorithmProvider,
-    ColorDepthSearchAlgorithmProviderFactory.java:76-127)."""
+    ColorDepthSearchAlgorithmProviderFactory.java:76-127; border =
+    queryBorderSize threaded from --border,
+    CalculateGradientScoresCmd.java:478)."""
     from .shape_oracle import ShapeScoreOracle
     if excluded is None and use_label_regions:
         excluded = label_regions_mask(query.height, query.width)
     return ShapeScoreOracle(query, query_threshold, mirror_mask,
-                            excluded, roi_mask)
+                            excluded, roi_mask, border)
 
 
 def is_match(matching_pixels: int, matching_pixels_ratio: float,

@@ -69,13 +69,26 @@ class QueryShapePlanes:
 
 def build_query_shape_planes(query: Image,
                              excluded: Optional[np.ndarray] = None,
-                             roi_mask: Optional[Image] = None) -> QueryShapePlanes:
+                             roi_mask: Optional[Image] = None,
+                             border: int = 0) -> QueryShapePlanes:
     """Query-side mask construction
     (ColorDepthSearchAlgorithmProviderFactory.java:96-121):
       queryImage   = clearRegions(query)
       highExpr     = signal0(gray16(where(dilate20 != 0, black, dilate60)))
       queryMask    = signal2(gray16(queryImage))
     plus optional ROI masking (Shape2DMatchColorDepthSearchAlgorithm.java:201-218).
+
+    `border` is the reference's --border / queryBorderSize
+    (AbstractColorDepthMatchArgs.java:24-25): the query LImage carries a
+    border frame (ColorDepthSearchAlgorithmProviderFactory.java:103) and
+    the gradient-gap fold skips it (LImage.fold:89-97 via combine4's
+    first operand, Shape2DMatchColorDepthSearchAlgorithm.java:219-240).
+    Zeroing q_nonzero and q_mask inside the frame is fold-exact: a
+    border pixel then contributes gap = 0*grad = 0 <= GAP_THRESHOLD.
+    The high-expression fold is NOT border-cropped in the reference —
+    combine2's first operand there is the border-less target image
+    (:226-239) — so high_expr stays full-frame. Dilations run on the
+    full image FIRST, keeping footprints that straddle the frame exact.
     """
     rgb = query.rgb_i32().astype(np.uint8)
     if excluded is not None:
@@ -93,8 +106,15 @@ def build_query_shape_planes(query: Image,
         rgb = np.where(roi_zero[:, :, None], 0, rgb).astype(np.uint8)
         q_mask = np.where(roi_zero, 0, q_mask)
         high_expr = np.where(roi_zero, 0, high_expr)
+    q_nonzero = (rgb > 0).any(axis=2)
+    if border > 0:
+        frame = np.zeros_like(q_nonzero)
+        frame[border:q_nonzero.shape[0] - border,
+              border:q_nonzero.shape[1] - border] = True
+        q_nonzero = q_nonzero & frame
+        q_mask = np.where(frame, q_mask, 0)
     return QueryShapePlanes(
-        q_nonzero=(rgb > 0).any(axis=2),
+        q_nonzero=q_nonzero,
         q_slice=slice_plane(rgb),
         q_mask=q_mask,
         high_expr=high_expr,
@@ -173,8 +193,8 @@ def _high_expr_sum(q: QueryShapePlanes, t_above: np.ndarray) -> int:
 
 def build_mirrored_query_shape_planes(query: Image,
                                       excluded: Optional[np.ndarray],
-                                      roi_mask: Optional[Image]
-                                      ) -> QueryShapePlanes:
+                                      roi_mask: Optional[Image],
+                                      border: int = 0) -> QueryShapePlanes:
     """Query planes for the mirrored orientation when an ROI mask is in
     play. The reference mirrors the query but NOT the ROI
     (Shape2DMatchColorDepthSearchAlgorithm.java:201-218 applies
@@ -185,7 +205,9 @@ def build_mirrored_query_shape_planes(query: Image,
     flipped = Image(query.kind, np.ascontiguousarray(query.pixels[:, ::-1]))
     flipped_excluded = (np.ascontiguousarray(excluded[:, ::-1])
                         if excluded is not None else None)
-    return build_query_shape_planes(flipped, flipped_excluded, roi_mask)
+    # the border frame is x-symmetric, so it commutes with the flip
+    return build_query_shape_planes(flipped, flipped_excluded, roi_mask,
+                                    border)
 
 
 class ShapeScoreOracle:
@@ -194,14 +216,17 @@ class ShapeScoreOracle:
     def __init__(self, query: Image, query_threshold: int = 20,
                  mirror_query: bool = True,
                  excluded: Optional[np.ndarray] = None,
-                 roi_mask: Optional[Image] = None):
+                 roi_mask: Optional[Image] = None,
+                 border: int = 0):
         self.query_threshold = query_threshold
         self.mirror_query = mirror_query
         self.excluded = excluded
-        self.planes = build_query_shape_planes(query, excluded, roi_mask)
+        self.planes = build_query_shape_planes(query, excluded, roi_mask,
+                                               border)
         # with an ROI the mirrored orientation needs its own plane set
         self.mirror_planes = (
-            build_mirrored_query_shape_planes(query, excluded, roi_mask)
+            build_mirrored_query_shape_planes(query, excluded, roi_mask,
+                                              border)
             if (mirror_query and roi_mask is not None) else None)
 
     def score(self, target: Image, target_grad: Image,

@@ -65,6 +65,11 @@ def add_cds_params(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pixColorFluctuation", type=float, default=2.0)
     p.add_argument("--xyShift", type=int, default=0)
     p.add_argument("--negativeRadius", type=int, default=20)
+    p.add_argument("--border", dest="border", type=int, default=0,
+                   help="image border size with no useful information; "
+                        "the gradient-gap fold skips this frame "
+                        "(AbstractColorDepthMatchArgs.java:24-25, "
+                        "CalculateGradientScoresCmd.java:478)")
     p.add_argument("--mirrorMask", action="store_true")
     p.add_argument("--pctPositivePixels", type=float, default=0.0)
     p.add_argument("--processingPartitionSize", "-ps", type=int, default=100)

@@ -166,3 +166,42 @@ def test_pallas_engine_cli_branch(workspace, tmp_path, monkeypatch):
     assert results["lm-1"]["matchingPixels"] == 414
     assert results["lm-2"]["matchingPixels"] == 426
     assert results["lm-2"]["mirrored"] is True
+
+
+def test_gradient_border_cli(workspace, fixtures_dir):
+    """--border threads from the CLI into the shape planes
+    (AbstractColorDepthMatchArgs.java:24-25 ->
+    CalculateGradientScoresCmd.java:478): the bordered run matches the
+    bordered oracle and shrinks only the gap term."""
+    from colormipsearch_tpu.cds.shape_oracle import ShapeScoreOracle
+    from colormipsearch_tpu.imageproc import label_regions_mask, load_image
+    ws = str(workspace)
+    out = os.path.join(ws, "border_results")
+    rc = main(["colorDepthSearch",
+               "-m", os.path.join(ws, "masks.json"),
+               "-i", os.path.join(ws, "targets.json"),
+               "--maskThreshold", "20", "--dataThreshold", "20",
+               "--pixColorFluctuation", "1", "--xyShift", "2",
+               "--mirrorMask", "-od", out])
+    assert rc == 0
+    per_mask = os.path.join(out, "masks")
+    rc = main(["gradientScores", "-md", per_mask,
+               "--maskThreshold", "20", "--mirrorMask",
+               "--computeZGapOnTheFly", "--border", "200"])
+    assert rc == 0
+    with open(os.path.join(per_mask, "em-12191.json")) as f:
+        doc = json.load(f)
+    results = {r["image"]["mipId"]: r for r in doc["results"]}
+    query = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    target = load_image(
+        fixtures_dir / "lms" /
+        "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.tif")
+    grad = load_image(
+        fixtures_dir / "grad" /
+        "VT033614_127B01_AE_01-20171124_64_H6-f-CH2_01.png")
+    excluded = label_regions_mask(query.height, query.width)
+    exp = ShapeScoreOracle(query, 20, True, excluded, border=200).score(
+        target, grad, None)
+    assert results["lm-0"]["gradientAreaGap"] == exp.gradient_area_gap
+    assert results["lm-0"]["highExpressionArea"] == 731   # un-bordered
+    assert exp.gradient_area_gap < 21365                  # border=0 value
