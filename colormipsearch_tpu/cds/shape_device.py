@@ -48,16 +48,20 @@ def _flat_slice_table() -> np.ndarray:
     return slice_number_table().reshape(-1)
 
 
-def _device_slice_table() -> jnp.ndarray:
-    """Device copy of the flat slice table, uploaded once per process.
-    Must be called OUTSIDE any jit trace."""
-    global _DEVICE_TABLE
-    if _DEVICE_TABLE is None:
-        _DEVICE_TABLE = jnp.asarray(_flat_slice_table())
-    return _DEVICE_TABLE
+def _device_slice_table(device=None) -> jnp.ndarray:
+    """Device copy of the flat slice table, uploaded once per process
+    PER DEVICE (the multi-device gradient phase round-robins plane
+    builds over local devices; a jit dispatch needs all its inputs on
+    one device). Must be called OUTSIDE any jit trace."""
+    t = _DEVICE_TABLES.get(device)
+    if t is None:
+        t = (jnp.asarray(_flat_slice_table()) if device is None
+             else jax.device_put(_flat_slice_table(), device))
+        _DEVICE_TABLES[device] = t
+    return t
 
 
-_DEVICE_TABLE = None
+_DEVICE_TABLES: dict = {}
 
 
 def _classify_index(rgb_i32: jnp.ndarray) -> jnp.ndarray:
@@ -205,10 +209,21 @@ def _build_target_planes_jit(cdm_u8, grad_raw, zgap_u8, excluded,
 
 def build_target_planes_device(cdm_u8, grad_raw, zgap_u8, excluded,
                                *, thr: int, zgap_mode: str,
-                               grad_is_rgb: bool):
+                               grad_is_rgb: bool, device=None):
     """Public entry: uploads the slice table once (outside the trace)
-    and dispatches the jitted plane builder."""
+    and dispatches the jitted plane builder. With `device` set, the raw
+    frames upload to that device and the program runs there (the
+    multi-device gradient phase round-robins blocks over
+    jax.local_devices(); the output planes stay resident where they
+    were built and the batch scorer dispatches to them)."""
+    if device is not None:
+        cdm_u8 = jax.device_put(cdm_u8, device)
+        grad_raw = jax.device_put(grad_raw, device)
+        if zgap_u8 is not None:
+            zgap_u8 = jax.device_put(zgap_u8, device)
+        if excluded is not None:
+            excluded = jax.device_put(excluded, device)
     return _build_target_planes_jit(cdm_u8, grad_raw, zgap_u8, excluded,
-                                    _device_slice_table(), thr=thr,
+                                    _device_slice_table(device), thr=thr,
                                     zgap_mode=zgap_mode,
                                     grad_is_rgb=grad_is_rgb)

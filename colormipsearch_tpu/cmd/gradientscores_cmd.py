@@ -209,14 +209,16 @@ def run(args: argparse.Namespace) -> int:
                 # applied in Shape2DMatch...java:201-218)
                 from ..imageproc import load_image
                 roi_mask = load_image(args.queryROIMaskName)
-            qplanes = build_query_shape_planes(mask_img, excluded, roi_mask)
+            border = getattr(args, "border", 0) or 0
+            qplanes = build_query_shape_planes(mask_img, excluded, roi_mask,
+                                               border)
             qplanes_m = None
             if roi_mask is not None and args.mirrorMask:
                 # the reference mirrors the query but NOT the ROI, so the
                 # mirrored orientation needs its own plane set
                 from ..cds.shape_oracle import build_mirrored_query_shape_planes
                 qplanes_m = build_mirrored_query_shape_planes(
-                    mask_img, excluded, roi_mask)
+                    mask_img, excluded, roi_mask, border)
             scored_for_mask.extend(score_mask_partitions(
                 mask_matches, qplanes, cache, args, excluded,
                 planes_cache, qplanes_m))
@@ -413,17 +415,36 @@ def _planes_block_size() -> int:
 _EXCLUDED_DEV = {}
 
 
-def _excluded_device(excluded):
-    """Upload the label-region mask once per (shape, contents)."""
+def grad_devices():
+    """Local devices the gradient phase spreads over (the reference
+    fans GA jobs over LSF hosts, CalculateGradientScoresCmd.java:304-312;
+    here one process drives EVERY local chip: plane-build blocks
+    round-robin across devices and the fused batch scorer dispatches
+    each device's resident planes on that device). CMS_GRAD_DEVICES
+    caps the count (1 = the pre-r5 single-device behavior)."""
+    import os
+
+    import jax
+    devs = jax.local_devices()
+    cap = os.environ.get("CMS_GRAD_DEVICES")
+    if cap:
+        devs = devs[:max(1, min(int(cap), len(devs)))]
+    return devs
+
+
+def _excluded_device(excluded, device=None):
+    """Upload the label-region mask once per (shape, device, contents)."""
     if excluded is None:
         return None
+    import jax
     import jax.numpy as jnp
     import numpy as np
-    key = excluded.shape
+    key = (excluded.shape, device)
     cached = _EXCLUDED_DEV.get(key)
     if cached is not None and np.array_equal(cached[0], excluded):
         return cached[1]
-    dev = jnp.asarray(excluded.astype(bool))
+    arr = excluded.astype(bool)
+    dev = jnp.asarray(arr) if device is None else jax.device_put(arr, device)
     _EXCLUDED_DEV[key] = (np.array(excluded, dtype=bool), dev)
     return dev
 
@@ -443,7 +464,7 @@ def _build_planes_device(raws, args, excluded):
         mode = "file" if zgap_px is not None else "otf"
         key = (cdm.shape, grad_is_rgb, mode)
         groups.setdefault(key, []).append(i)
-    excluded_dev = _excluded_device(excluded)
+    devs = grad_devices()
     block = _planes_block_size()
     for (shape, grad_is_rgb, mode), idxs in groups.items():
         for b0 in range(0, len(idxs), block):
@@ -453,15 +474,25 @@ def _build_planes_device(raws, args, excluded):
             grad_b = np.stack([raws[i][1][0] for i in pad])
             zgap_b = (np.stack([raws[i][2] for i in pad])
                       if mode == "file" else None)
+            # round-robin blocks over local devices; planes stay
+            # resident where built and score there (multi-device GA)
+            device = None
+            if len(devs) > 1:
+                global _BLOCK_RR
+                device = devs[_BLOCK_RR % len(devs)]
+                _BLOCK_RR += 1
             t_above, grad, z_nonzero, z_slice = build_target_planes_device(
-                cdm_b, grad_b, zgap_b, excluded_dev,
+                cdm_b, grad_b, zgap_b, _excluded_device(excluded, device),
                 thr=int(args.maskThreshold), zgap_mode=mode,
-                grad_is_rgb=grad_is_rgb)
+                grad_is_rgb=grad_is_rgb, device=device)
             for j, i in enumerate(chunk):
                 results[i] = TargetShapePlanes(
                     t_above=t_above[j], grad=grad[j],
                     z_nonzero=z_nonzero[j], z_slice=z_slice[j])
     return results
+
+
+_BLOCK_RR = 0
 
 
 def _planes_pool(args):
@@ -548,19 +579,75 @@ def _target_planes_cached(target, cache: MIPsCache, args, excluded,
     return planes
 
 
-def _qplanes_device(qp):
-    """Upload a mask's query planes once (cached on the dataclass); the
-    fused batch kernel reuses them across every batch of the mask."""
-    dev = getattr(qp, "_dev", None)
+def _qplanes_device(qp, device=None):
+    """Upload a mask's query planes once PER DEVICE (cached on the
+    dataclass); the fused batch kernel reuses them across every batch
+    of the mask on that device."""
+    cache = getattr(qp, "_dev", None)
+    if cache is None:
+        cache = {}
+        qp._dev = cache
+    dev = cache.get(device)
     if dev is None:
+        import jax
         import jax.numpy as jnp
         import numpy as np
-        dev = (jnp.asarray(qp.q_nonzero),
-               jnp.asarray(qp.q_slice.astype(np.int32)),
-               jnp.asarray(qp.q_mask.astype(np.int32)),
-               jnp.asarray(qp.high_expr.astype(bool)))
-        qp._dev = dev
+        arrs = (qp.q_nonzero, qp.q_slice.astype(np.int32),
+                qp.q_mask.astype(np.int32), qp.high_expr.astype(bool))
+        if device is None:
+            dev = tuple(jnp.asarray(a) for a in arrs)
+        else:
+            dev = tuple(jax.device_put(a, device) for a in arrs)
+        cache[device] = dev
     return dev
+
+
+def score_tplanes_batched(qplanes, tplanes, *, mirror: bool,
+                          targets_per_batch: int, r0: int, r1: int):
+    """Multi-device fused stacked scoring over already-built target
+    planes (the production GA engine's device dispatch): group targets
+    by the device their planes are RESIDENT on (plane-build blocks
+    round-robin over grad_devices()), pad each group to a pow2-ish
+    bucket, dispatch ONE fused shape_score_stacked per device — all
+    dispatches queue async before any result is pulled — then finish
+    host-side. Returns (gaps, high, use_m) aligned with tplanes order.
+    With one device this is exactly the pre-r5 single-dispatch path."""
+    from ..cds.shape_kernel import shape_score_stacked
+    groups: dict = {}
+    for i, t in enumerate(tplanes):
+        devs_of = getattr(t.grad, "devices", None)
+        dev = next(iter(t.grad.devices())) if callable(devs_of) else None
+        groups.setdefault(dev, []).append(i)
+    dispatched = []
+    for dev, idxs in groups.items():
+        sel = [tplanes[i] for i in idxs]
+        n_real = len(sel)
+        # pad to a pow2-ish BUCKET so the jitted kernel sees few static
+        # T shapes (full batches pad to targets_per_batch; partials to
+        # their bucket)
+        bucket = next((b for b in (16, 32, 64, 128, 256, 512)
+                       if n_real <= b <= targets_per_batch),
+                      targets_per_batch)
+        bucket = max(bucket, min(n_real, targets_per_batch))
+        while len(sel) < bucket:
+            sel.append(sel[-1])
+        qd = _qplanes_device(qplanes, dev)
+        out = shape_score_stacked(*qd,
+                                  [t.t_above for t in sel],
+                                  [t.grad for t in sel],
+                                  [t.z_nonzero for t in sel],
+                                  [t.z_slice for t in sel],
+                                  r0=r0, r1=r1, mirror=mirror)
+        dispatched.append((idxs, n_real, out))
+    gaps_all = np.zeros(len(tplanes), dtype=np.int64)
+    high_all = np.zeros(len(tplanes), dtype=np.int64)
+    use_m_all = np.zeros(len(tplanes), dtype=bool)
+    for idxs, n_real, out in dispatched:
+        gaps, high, _score, use_m = finish_shape_scores(*out, mirror=mirror)
+        gaps_all[idxs] = gaps[:n_real]
+        high_all[idxs] = high[:n_real]
+        use_m_all[idxs] = np.asarray(use_m)[:n_real]
+    return gaps_all, high_all, use_m_all
 
 
 def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
@@ -606,6 +693,15 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
         # crop must cover the active rows of BOTH orientations
         m0, m1 = qplanes_m.active_row_range()
         r0, r1 = min(r0, m0), max(r1, m1)
+    if qplanes_m is None:
+        gaps, high, use_m = score_tplanes_batched(
+            qplanes, tplanes, mirror=args.mirrorMask,
+            targets_per_batch=args.targetsPerBatch, r0=r0, r1=r1)
+        for i, m in enumerate(scored_matches):
+            m.gradient_area_gap = int(gaps[i])
+            m.high_expression_area = int(high[i])
+            m.bidirectional_area_gap = None
+        return scored_matches
     # pad the batch to a pow2-ish BUCKET size so the jitted kernel sees
     # few static T shapes (a full batch pads to targetsPerBatch; the
     # final partial batch pads only to its bucket, not the max)
@@ -616,41 +712,34 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     bucket = max(bucket, min(n_real, args.targetsPerBatch))
     while len(tplanes) < bucket:
         tplanes.append(tplanes[-1])
-    if qplanes_m is None:
-        # fused stack+crop+score: ONE dispatch per batch (per-dispatch
-        # tunnel latency made the multi-op stack the measured warm-path
-        # bottleneck; see shape_score_stacked)
-        from ..cds.shape_kernel import shape_score_stacked
-        qd = _qplanes_device(qplanes)
-        out = shape_score_stacked(*qd,
-                                  [t.t_above for t in tplanes],
-                                  [t.grad for t in tplanes],
-                                  [t.z_nonzero for t in tplanes],
-                                  [t.z_slice for t in tplanes],
-                                  r0=r0, r1=r1, mirror=args.mirrorMask)
-        gaps, high, score, use_m = finish_shape_scores(
-            *out, mirror=args.mirrorMask)
-    else:
-        # ROI-mask path (rare): explicit stacked planes, two passes
-        grad = jnp.stack([t.grad[r0:r1] for t in tplanes])
-        znz = jnp.stack([t.z_nonzero[r0:r1] for t in tplanes])
-        zsl = jnp.stack([t.z_slice[r0:r1] for t in tplanes])
-        tab = jnp.stack([t.t_above[r0:r1] for t in tplanes])
-        # exact ROI semantics: two identity-orientation passes, the
-        # second with mirrored-query planes and flipped z planes
-        def one_pass(qp_, g_, znz_, zsl_, tab_):
-            out = shape_score_kernel(qp_.q_nonzero[r0:r1],
-                                     qp_.q_slice[r0:r1],
-                                     qp_.q_mask[r0:r1],
-                                     qp_.high_expr[r0:r1],
-                                     g_, znz_, zsl_, tab_, mirror=False)
-            return finish_shape_scores(*out, mirror=False)
-        g_i, h_i, s_i, _ = one_pass(qplanes, grad, znz, zsl, tab)
-        g_m, h_m, s_m, _ = one_pass(qplanes_m, grad, znz[:, :, ::-1],
-                                    zsl[:, :, ::-1], tab)
-        use_m = s_m < s_i
-        gaps = np.where(use_m, g_m, g_i)
-        high = np.where(use_m, h_m, h_i)
+    # ROI-mask path (rare): explicit stacked planes, two passes; runs
+    # on one device (planes built on other devices migrate via
+    # device_put — correctness over spread for this niche path)
+    dev0 = grad_devices()[0] if len(grad_devices()) > 1 else None
+    import jax
+
+    def pull(a):
+        return jax.device_put(a, dev0) if dev0 is not None else a
+    grad = jnp.stack([pull(t.grad)[r0:r1] for t in tplanes])
+    znz = jnp.stack([pull(t.z_nonzero)[r0:r1] for t in tplanes])
+    zsl = jnp.stack([pull(t.z_slice)[r0:r1] for t in tplanes])
+    tab = jnp.stack([pull(t.t_above)[r0:r1] for t in tplanes])
+
+    # exact ROI semantics: two identity-orientation passes, the
+    # second with mirrored-query planes and flipped z planes
+    def one_pass(qp_, g_, znz_, zsl_, tab_):
+        out = shape_score_kernel(qp_.q_nonzero[r0:r1],
+                                 qp_.q_slice[r0:r1],
+                                 qp_.q_mask[r0:r1],
+                                 qp_.high_expr[r0:r1],
+                                 g_, znz_, zsl_, tab_, mirror=False)
+        return finish_shape_scores(*out, mirror=False)
+    g_i, h_i, s_i, _ = one_pass(qplanes, grad, znz, zsl, tab)
+    g_m, h_m, s_m, _ = one_pass(qplanes_m, grad, znz[:, :, ::-1],
+                                zsl[:, :, ::-1], tab)
+    use_m = s_m < s_i
+    gaps = np.where(use_m, g_m, g_i)
+    high = np.where(use_m, h_m, h_i)
     gaps, high = gaps[:n_real], high[:n_real]
     use_m = np.asarray(use_m)[:n_real]
     for i, m in enumerate(scored_matches):
