@@ -109,6 +109,17 @@ def add_parser(subparsers) -> None:
                    help="Authorization header for --jacs-url")
     p.add_argument("--jacs-read-batch-size", type=int, default=5000,
                    help="MIP ids per JACS fetch (readBatchSize)")
+    p.add_argument("--config-url", default=None,
+                   help="NeuronBridge config service base URL: fetches "
+                        "the internal->display library-name mapping from "
+                        "{configURL}/cdm_library and applies it to "
+                        "exported libraryName fields "
+                        "(ExportData4NBCmd.java:67,264; "
+                        "JacsDataGetter.retrieveLibraryNameMapping)")
+    p.add_argument("--library-name-mapping", default=None,
+                   help="offline {internalLibrary: displayName} JSON "
+                        "(the cdm_library config fixture); takes "
+                        "precedence over --config-url")
     p.add_argument("--target-libraries", nargs="*", default=[])
     p.add_argument("--target-tags", nargs="*", default=[])
     p.add_argument("--target-excluded-tags", nargs="*", default=[])
@@ -178,7 +189,8 @@ def _enrich_from_jacs_mip(e: NeuronEntity, d: Dict, files: Dict,
 
 def neuron_metadata(e: NeuronEntity, url_transformer=None,
                     image_store_mapping=None, published_urls=None,
-                    published_lm_stacks=None, jacs_mips=None) -> Dict:
+                    published_lm_stacks=None, jacs_mips=None,
+                    library_names=None) -> Dict:
     """Entity -> export metadata (entity.metadata() analogue;
     dto/AbstractNeuronMetadata.java:43-61). When transformers are given,
     file URLs are relativized per FileType and the FileType.store entry
@@ -234,8 +246,29 @@ def neuron_metadata(e: NeuronEntity, url_transformer=None,
                  for t, v in files.items()}
     if files:
         d["files"] = files
+    if library_names:
+        # display-name remap LAST: the image-store mapping above keys on
+        # the INTERNAL library name (AbstractDataExporter.java:54-57
+        # updateFileStore-before-setLibraryName ordering)
+        d["libraryName"] = library_names.get(e.library_name,
+                                             e.library_name)
     d["type"] = ("EMImage" if type(e).__name__.startswith("EM") else "LMImage")
     return d
+
+
+def _load_library_names(args) -> Dict | None:
+    """internal->display library-name mapping: offline JSON fixture or
+    the live config service {configURL}/cdm_library
+    (JacsDataGetter.retrieveLibraryNameMapping)."""
+    path = getattr(args, "library_name_mapping", None)
+    if path:
+        with open(path) as f:
+            return json.load(f)
+    url = getattr(args, "config_url", None)
+    if url:
+        from ..jacs.client import retrieve_library_name_mapping
+        return retrieve_library_name_mapping(url)
+    return None
 
 
 def build_transformers(args):
@@ -353,6 +386,7 @@ def _export_cd_matches(args, by_target: bool) -> int:
     reader = matches_reader(args.db, args.matchesDir)
     url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
     jacs_mips = _load_jacs_mips_fixture(args)
+    lib_names = _load_library_names(args)
     target_sel = DataSourceParam(
         libraries=list(args.target_libraries or []),
         tags=set(args.target_tags or []),
@@ -402,7 +436,8 @@ def _export_cd_matches(args, by_target: bool) -> int:
 
         def meta(e):
             return neuron_metadata(e, url_t, store_m, pub_urls, lm_stacks,
-                                   jacs_mips=jacs_mips)
+                                   jacs_mips=jacs_mips,
+                                   library_names=lib_names)
 
         input_meta = meta(input_of(selected[0]))
         missing = validate_export_metadata(input_meta) \
@@ -505,6 +540,7 @@ def _export_mips(args) -> int:
     reader = JSONCDMIPsReader(args.mips_file)
     url_t, store_m, pub_urls, lm_stacks = build_transformers(args)
     jacs_mips = _load_jacs_mips_fixture(args)
+    lib_names = _load_library_names(args)
     entities = reader.read_mips(DataSourceParam())
     _prefetch_jacs_mips(jacs_mips, entities)
     out_dir = args.output_dir or "."
@@ -514,7 +550,8 @@ def _export_mips(args) -> int:
         by_name.setdefault(e.published_name or "unknown", []).append(e)
     for name, group in by_name.items():
         doc = {"results": [neuron_metadata(e, url_t, store_m, pub_urls,
-                                           lm_stacks, jacs_mips=jacs_mips)
+                                           lm_stacks, jacs_mips=jacs_mips,
+                                           library_names=lib_names)
                            for e in group]}
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(doc, f, indent=2)
@@ -599,6 +636,7 @@ def _export_ppp_matches(args) -> int:
     from ..model import PPPMatchEntity, PPPScreenshotType
     url_t, store_m, pub_urls, _lm_stacks = build_transformers(args)
     jacs_mips = _load_jacs_mips_fixture(args)
+    lib_names = _load_library_names(args)
     get_samples = _load_lm_samples(args)
     as_aliases = _parse_as_aliases(args.published_alignment_space_alias)
     store = None
@@ -700,7 +738,8 @@ def _export_ppp_matches(args) -> int:
         for pub_name, group in groups.items():
             em = group[0].mask_image
             em_meta = neuron_metadata(em, url_t, store_m, pub_urls,
-                                      jacs_mips=jacs_mips) \
+                                      jacs_mips=jacs_mips,
+                                      library_names=lib_names) \
                 if em is not None else {"publishedName": pub_name}
             # EM body ref without the "EMBody#" prefix names the output
             # file (EMNeuronEntity.metadata:56 via getSourceRefIdOnly +
@@ -743,7 +782,11 @@ def _export_ppp_matches(args) -> int:
                                   em_meta.get("anatomicalArea"))
                 target.setdefault("objective", m.source_objective())
                 if m.source_lm_library:
-                    target.setdefault("libraryName", m.source_lm_library)
+                    # display-name mapped (updateTargetFromLMSample:221)
+                    lib = m.source_lm_library
+                    if lib_names:
+                        lib = lib_names.get(lib, lib)
+                    target["libraryName"] = lib
                 files: Dict[str, str] = {}
                 sample = samples.get(m.extract_lm_sample_name())
                 if sample is not None:

@@ -291,3 +291,27 @@ def test_ppp_export_offline_fixtures_dir_source(tmp_path):
     doc = json.loads((out / "2941323.json").read_text())
     assert [r["pppmRank"] for r in doc["results"]] == [0.0, 1.0]
     assert doc["results"][0]["files"]["SignalMip"].startswith("https://")
+
+
+def test_ppp_export_library_name_mapping(tmp_path, ppp_db):
+    """internal->display library-name mapping applies to the EM mask
+    and the PPP target (ExportData4NBCmd.java:67,264 via
+    dataHelper.getLibraryName; updateTargetFromLMSample:221)."""
+    db, store = ppp_db
+    _seed_store(store)
+    samples = tmp_path / "samples.json"
+    samples.write_text(json.dumps(SAMPLE_DOCS))
+    mapping = tmp_path / "libnames.json"
+    mapping.write_text(json.dumps({
+        "flyem_hemibrain_1_2_1": "FlyEM Hemibrain v1.2.1",
+        "flylight_split_gal4_published": "FlyLight Split-GAL4 Drivers"}))
+    out = tmp_path / "out"
+    rc = main(["exportData", "--exported-result-type", "EM_PPP_MATCHES",
+               "--db", db, "-od", str(out),
+               "--jacs-samples-file", str(samples),
+               "--library-name-mapping", str(mapping)])
+    assert rc == 0
+    doc = json.loads((out / "2941323.json").read_text())
+    assert doc["inputImage"]["libraryName"] == "FlyEM Hemibrain v1.2.1"
+    assert doc["results"][0]["image"]["libraryName"] == \
+        "FlyLight Split-GAL4 Drivers"
