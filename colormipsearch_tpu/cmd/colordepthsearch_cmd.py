@@ -343,14 +343,17 @@ def run(args: argparse.Namespace) -> int:
     engine_kind = _pick_engine(args.engine)
     LOG.info("scoring engine: %s", engine_kind)
 
-    # prepare query planes / engines once per mask (host side)
-    prepared = []
-    for mask in masks:
+    # prepare query planes / engines once per mask, fanned over a host
+    # thread pool (decode + tile packing + ratio-plane tables are
+    # ~170 ms/mask of GIL-releasing numpy/PIL work; at production mask
+    # counts a serial loop costs minutes per process)
+    def prep_one(mask):
         mip = cache.load_mip(mask, ComputeFileType.InputColorDepthImage)
         if mip.image is None:
             LOG.warning("no input image for mask %s", mask.mip_id)
-            continue
-        excluded = excluded_regions_for(args, mip.image.height, mip.image.width)
+            return None
+        excluded = excluded_regions_for(args, mip.image.height,
+                                        mip.image.width)
         if engine_kind == "pallas":
             from ..cds.pixel_pallas import ActiveTilePixelEngine
             eng = ActiveTilePixelEngine(
@@ -359,10 +362,16 @@ def run(args: argparse.Namespace) -> int:
                 excluded,
                 # hermetic CI coverage of this branch on CPU
                 interpret=os.environ.get("CMS_PALLAS_INTERPRET") == "1")
-            prepared.append((mask, eng))
-        else:
-            prepared.append((mask, prepare_query_planes(
-                mip.image, args.maskThreshold, excluded)))
+            return (mask, eng)
+        return (mask, prepare_query_planes(
+            mip.image, args.maskThreshold, excluded))
+
+    from concurrent.futures import ThreadPoolExecutor
+    t_prep = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as pool:
+        prepared = [p for p in pool.map(prep_one, masks) if p is not None]
+    LOG.info("prepared %d mask engines in %.1fs", len(prepared),
+             time.perf_counter() - t_prep)
 
     use_screen = (engine_kind == "pallas" and args.prescreen == "on")
     sweep = None

@@ -180,12 +180,17 @@ def run_stage(name: str, cmd: list, results: dict, env_extra=None) -> None:
     th = threading.Thread(target=poll, daemon=True)
     th.start()
     tail = []
+    log_f = open(os.path.join(results["_log_dir"], f"{name}.log"), "w") \
+        if results.get("_log_dir") else None
     for line in proc.stdout:
         tail.append(line.rstrip())
         if len(tail) > 40:
             tail.pop(0)
-        if len(tail) % 10 == 0:
-            pass
+        if log_f:
+            log_f.write(line)
+            log_f.flush()
+    if log_f:
+        log_f.close()
     rc = proc.wait()
     stop.set()
     th.join(timeout=2)
@@ -220,10 +225,12 @@ def main() -> None:
                                 "pairs": args.masks * args.targets,
                                 "cpu": args.cpu}}
     results_path = os.path.join(wd, "rehearsal.json")
+    results["_log_dir"] = wd   # per-stage live logs: <wd>/<stage>.log
 
     def checkpoint():
         with open(results_path, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump({k: v for k, v in results.items()
+                       if not k.startswith("_")}, f, indent=2)
 
     env_extra = {}
     if args.cpu:
