@@ -207,6 +207,63 @@ def _build_target_planes_jit(cdm_u8, grad_raw, zgap_u8, excluded,
     return t_above, grad, z_nonzero.astype(bool), z_slice.astype(jnp.uint16)
 
 
+@functools.partial(jax.jit, static_argnames=("border", "has_excluded"))
+def _build_query_planes_jit(rgb_u8, excluded, slice_table, *,
+                            border: int, has_excluded: bool):
+    """Derive the per-mask QUERY shape planes on device
+    (ColorDepthSearchAlgorithmProviderFactory.java:96-121):
+      cleared   = clearRegions(query)
+      high_expr = signal0(gray16(where(dilate20 != 0, black, dilate60)))
+      q_mask    = signal2(gray16(cleared))
+      q_nonzero = any-channel > 0; q_slice = depth-slice LUT
+    The 60px/20px dilations are the exact makeLineRadii reduce_window
+    form (_dilate_rgb — the same code the 10px on-the-fly zgap uses);
+    gray conversion is the proven-exact integer form
+    (_gray_no_gamma_exact). The host build costs ~670 ms/mask in two
+    SciPy-free dilations; at production mask counts (1.5K+ per GA
+    process) that serial host cost dominated the gradient phase wall —
+    measured in the r5 dress rehearsal."""
+    rgb_i = rgb_u8.astype(jnp.int32)
+    if has_excluded:
+        rgb_i = jnp.where(excluded[:, :, None], 0, rgb_i)
+    cleared_u8 = rgb_i.astype(jnp.uint8)
+    d60 = _dilate_rgb(cleared_u8[None], 60.0)[0].astype(jnp.int32)
+    d20 = _dilate_rgb(cleared_u8[None], 20.0)[0]
+    hem = jnp.where((d20 > 0).any(axis=-1)[..., None], 0, d60)
+    high_expr = (_gray_no_gamma_exact(hem) > 0).astype(jnp.int32)
+    q_mask = (_gray_no_gamma_exact(rgb_i) > 2).astype(jnp.int32)
+    q_nonzero = (rgb_i > 0).any(axis=-1)
+    q_slice = slice_plane_device(cleared_u8, slice_table)
+    if border > 0:
+        h, w = q_nonzero.shape
+        frame = jnp.zeros((h, w), dtype=bool).at[
+            border:h - border, border:w - border].set(True)
+        q_nonzero = q_nonzero & frame
+        q_mask = jnp.where(frame, q_mask, 0)
+    return q_nonzero, q_slice, q_mask, high_expr
+
+
+def build_query_planes_device(query_rgb_u8, excluded=None, border: int = 0):
+    """Device query-plane build -> host QueryShapePlanes (the consumers
+    — active_row_range, the per-device upload cache — expect NumPy).
+    ROI-mask runs keep the host oracle path (rare; exact-ROI mirror
+    semantics need separate plane sets anyway)."""
+    from .shape_oracle import QueryShapePlanes
+    has_ex = excluded is not None
+    ex = jnp.asarray(excluded.astype(bool)) if has_ex else \
+        jnp.zeros((1, 1), dtype=bool)
+    q_nonzero, q_slice, q_mask, high_expr = _build_query_planes_jit(
+        jnp.asarray(query_rgb_u8), ex, _device_slice_table(),
+        border=border, has_excluded=has_ex)
+    return QueryShapePlanes(
+        q_nonzero=np.asarray(q_nonzero),
+        q_slice=np.asarray(q_slice).astype(np.int32),
+        q_mask=np.asarray(q_mask).astype(np.int32),
+        high_expr=np.asarray(high_expr).astype(np.int32),
+        height=int(query_rgb_u8.shape[0]),
+        width=int(query_rgb_u8.shape[1]))
+
+
 def build_target_planes_device(cdm_u8, grad_raw, zgap_u8, excluded,
                                *, thr: int, zgap_mode: str,
                                grad_is_rgb: bool, device=None):

@@ -210,8 +210,7 @@ def run(args: argparse.Namespace) -> int:
                 from ..imageproc import load_image
                 roi_mask = load_image(args.queryROIMaskName)
             border = getattr(args, "border", 0) or 0
-            qplanes = build_query_shape_planes(mask_img, excluded, roi_mask,
-                                               border)
+            qplanes = _build_qplanes(mask_img, excluded, roi_mask, border)
             qplanes_m = None
             if roi_mask is not None and args.mirrorMask:
                 # the reference mirrors the query but NOT the ROI, so the
@@ -366,6 +365,20 @@ def _upload_planes(planes):
         grad=jnp.asarray(planes.grad),
         z_nonzero=jnp.asarray(planes.z_nonzero),
         z_slice=jnp.asarray(planes.z_slice))
+
+
+def _build_qplanes(mask_img, excluded, roi_mask, border: int):
+    """Per-mask query shape planes: on DEVICE by default (two 60px/20px
+    host dilations cost ~670 ms/mask serially — the dominant gradient
+    phase cost at production mask counts, found by the r5 dress
+    rehearsal), host oracle path for ROI-mask runs, non-RGB masks, or
+    CMS_DEVICE_PLANES=0."""
+    from ..imageproc.io import ImageKind
+    if device_planes_enabled() and roi_mask is None \
+            and mask_img.kind == ImageKind.RGB:
+        from ..cds.shape_device import build_query_planes_device
+        return build_query_planes_device(mask_img.pixels, excluded, border)
+    return build_query_shape_planes(mask_img, excluded, roi_mask, border)
 
 
 def device_planes_enabled() -> bool:

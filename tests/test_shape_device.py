@@ -253,3 +253,39 @@ def test_plane_cache_byte_budget(monkeypatch):
     # None entries cost nothing
     gc._insert_plane(cache, "none", None)
     assert "none" in cache
+
+
+@pytest.mark.parametrize("use_excluded", [False, True])
+@pytest.mark.parametrize("border", [0, 60])
+def test_device_query_planes_match_oracle(fixtures_dir, use_excluded,
+                                          border):
+    """Device query-plane build == host oracle bit-for-bit on the golden
+    EM fixture (the r5 GA host bottleneck: two 60px/20px dilations per
+    mask, now reduce_window on device)."""
+    import numpy as np
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.shape_device import build_query_planes_device
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    q = load_image(fixtures_dir / "ems" / "12191_JRC2018U_FL.tif")
+    excluded = label_regions_mask(q.height, q.width) if use_excluded \
+        else None
+    host = build_query_shape_planes(q, excluded, None, border)
+    dev = build_query_planes_device(q.pixels, excluded, border)
+    np.testing.assert_array_equal(np.asarray(dev.q_nonzero), host.q_nonzero)
+    np.testing.assert_array_equal(np.asarray(dev.q_slice), host.q_slice)
+    np.testing.assert_array_equal(np.asarray(dev.q_mask), host.q_mask)
+    np.testing.assert_array_equal(np.asarray(dev.high_expr), host.high_expr)
+    assert dev.active_row_range() == host.active_row_range()
+
+
+def test_device_query_planes_mask_statistics(fixtures_dir):
+    """The reference's mask-statistics invariants hold on the device
+    build (overExpressesMaskExpression: 17340 mask px / 70640
+    high-expression px for 12191_JRC2018U_FL)."""
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.shape_device import build_query_planes_device
+    q = load_image(fixtures_dir / "ems" / "12191_JRC2018U_FL.tif")
+    excluded = label_regions_mask(q.height, q.width)
+    planes = build_query_planes_device(q.pixels, excluded)
+    assert int(planes.q_mask.sum()) == 17340
+    assert int(planes.high_expr.sum()) == 70640
