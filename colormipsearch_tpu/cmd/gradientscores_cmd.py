@@ -237,9 +237,47 @@ def run(args: argparse.Namespace) -> int:
         # whole-group rewrite on the FS backend)
         pending_updates.extend(matches)
         flush_updates()
+        _n_masks_done[0] += 1
+        if _n_masks_done[0] % 100 == 0:
+            _log_ga_telemetry(cache, planes_cache, _n_masks_done[0])
     flush_updates(force=True)
     LOG.info("updated %d matches in %.1fs", len(updated), time.time() - t_start)
     return 0
+
+
+_n_masks_done = [0]
+
+
+def _log_ga_telemetry(cache, planes_cache, n_done: int) -> None:
+    """Periodic memory attribution (the r5 dress rehearsal was
+    OOM-killed with near-empty caches — the guard can only shrink what
+    it can SEE, so make the consumers visible): host RSS, cache entry
+    counts/bytes, and jax live-array totals."""
+    try:
+        import jax
+        rss_kb = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss_kb = int(line.split()[1])
+        live = jax.live_arrays()
+        live_b = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in live)
+        with _CACHE_LOCK:
+            n_planes = len(planes_cache)
+            planes_b = sum(_planes_nbytes(p) for p in planes_cache.values())
+        trimmed = _malloc_trim()
+        LOG.info(
+            "[ga-mem] masks=%d rss=%.1fGB images=%d planes=%d/%.2fGB "
+            "jax_arrays=%d/%.2fGB trim=%s", n_done, rss_kb / 1e6,
+            len(getattr(cache, "_cache", ())), n_planes, planes_b / 1e9,
+            len(live), live_b / 1e9, trimmed)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        LOG.debug("ga telemetry failed: %s", e)
+
+
+def _malloc_trim() -> bool:
+    from ..utils.memguard import malloc_trim
+    return malloc_trim()
 
 
 _PLANES_CACHE_MAX = 2048

@@ -106,14 +106,34 @@ def load_compute_file(neuron: NeuronEntity,
     return NeuronMIP(neuron, fd, load_image_from_filedata(fd))
 
 
+def _default_image_cache_bytes() -> int:
+    """Byte budget for decoded images: CMS_IMAGE_CACHE_MB, else 20% of
+    host RAM. The reference bounds its cache by ENTRY COUNT and budgets
+    170 GB hosts for it (cdsparams.sh:22-25); an entry cap alone let
+    the r5 dress rehearsal's GA stage grow past 100 GB RSS on a 125 GB
+    host — decoded production frames are ~2 MB each and 100K entries is
+    a ~200 GB license."""
+    import os
+    mb = os.environ.get("CMS_IMAGE_CACHE_MB")
+    if mb:
+        return int(mb) << 20
+    from ..utils.memguard import host_memory
+    _, total = host_memory()
+    return min(total // 5, 64 << 30)
+
+
 class MIPsCache:
     """Bounded LRU image cache keyed on (entity/mip id, compute file type)
     (CachedMIPsUtils.java:19-112; production sizes 100k-200k entries,
-    scripts/cdsparams.sh:22-25)."""
+    scripts/cdsparams.sh:22-25). Bounded BOTH by entry count (the
+    reference's --cacheSize semantics) and by decoded bytes."""
 
     def __init__(self, max_size: int = 100_000, array_store=None,
-                 memory_guard=None):
+                 memory_guard=None, max_bytes: int | None = None):
         self.max_size = max_size
+        self.max_bytes = (_default_image_cache_bytes()
+                          if max_bytes is None else max_bytes)
+        self._nbytes = 0
         # optional imageproc.store.PackedArrayStore for cross-run
         # decode-once caching
         self.array_store = array_store
@@ -147,22 +167,32 @@ class MIPsCache:
         mip = self._load(neuron, file_type)
         with self._lock:
             self._cache[key] = mip.image
+            self._nbytes += self._image_nbytes(mip.image)
             self._cache.move_to_end(key)
-            while len(self._cache) > self.max_size:
-                self._cache.popitem(last=False)
+            while len(self._cache) > self.max_size or \
+                    (self._nbytes > self.max_bytes and len(self._cache) > 1):
+                _, old = self._cache.popitem(last=False)
+                self._nbytes -= self._image_nbytes(old)
         # host memory-pressure reaction (AbstractCmd.java:52-62 analogue):
         # shrink instead of growing into an OOM — the cache refills
         # lazily once pressure clears
         self.memory_guard.relieve(self._evict_half, "image-cache")
         return mip
 
+    @staticmethod
+    def _image_nbytes(img) -> int:
+        px = getattr(img, "pixels", None)
+        return int(px.nbytes) if px is not None else 0
+
     def _evict_half(self) -> int:
         with self._lock:
             n = len(self._cache) // 2
             for _ in range(n):
-                self._cache.popitem(last=False)
+                _, old = self._cache.popitem(last=False)
+                self._nbytes -= self._image_nbytes(old)
         return n
 
     def clear(self) -> None:
         with self._lock:
             self._cache.clear()
+            self._nbytes = 0

@@ -201,6 +201,12 @@ def run_stage(name: str, cmd: list, results: dict, env_extra=None) -> None:
     _log(f"stage {name}: rc={rc} wall={wall:.1f}s "
          f"peakRSS={peak_kb / 1e6:.2f}GB")
     if rc != 0:
+        # record the failure in the checkpoint BEFORE bailing (a killed
+        # stage — e.g. the r5 OOM find — must show up in rehearsal.json)
+        with open(os.path.join(results.get("_log_dir", "."),
+                               "rehearsal.json"), "w") as f:
+            json.dump({k: v for k, v in results.items()
+                       if not k.startswith("_")}, f, indent=2)
         print("\n".join(tail[-30:]))
         raise SystemExit(f"stage {name} failed rc={rc}")
 
@@ -225,6 +231,12 @@ def main() -> None:
                                 "pairs": args.masks * args.targets,
                                 "cpu": args.cpu}}
     results_path = os.path.join(wd, "rehearsal.json")
+    # resume-friendly: keep stage entries an earlier partial run recorded
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            prior = json.load(f)
+        for k, v in prior.items():
+            results.setdefault(k, v)
     results["_log_dir"] = wd   # per-stage live logs: <wd>/<stage>.log
 
     def checkpoint():
@@ -280,13 +292,30 @@ def main() -> None:
             args.masks * args.targets / results["cds"]["wall_s"], 1)
         checkpoint()
     if due("ga"):
-        # production GA selection: top 300 lines/mask (cdsparams.sh:63)
-        run_stage("ga", py + [
-            "gradientScores", "--db", db,
-            "--maskThreshold", "20", "--mirrorMask",
-            "--nBestLines", "300", "--targetsPerBatch", "128",
-            "--processing-tag", "rehearsal-ga"],
-            results, env_extra)
+        # production GA selection: top 300 lines/mask (cdsparams.sh:63).
+        # The GA runs as SEQUENTIAL process grid blocks
+        # (--process-id/--process-count) exactly like the reference's
+        # LSF job sizing (MIP_IDS_PER_JOB=100, cdsparams.sh:60): the r5
+        # rehearsal measured ~70 MB/mask RSS growth OUTSIDE every cache
+        # and live jax array (suspected tunnel-client per-dispatch host
+        # buffers) in a single 1.6K-mask process — bounded job blocks
+        # are both the parity-faithful and the OOM-safe shape.
+        ga_blocks = int(os.environ.get("CMS_REHEARSAL_GA_BLOCKS", "4"))
+        for b in range(ga_blocks):
+            run_stage(f"ga_b{b}", py + [
+                "gradientScores", "--db", db,
+                "--maskThreshold", "20", "--mirrorMask",
+                "--nBestLines", "300", "--targetsPerBatch", "128",
+                "--process-id", str(b), "--process-count",
+                str(ga_blocks), "--processing-tag", "rehearsal-ga"],
+                results, env_extra)
+            checkpoint()
+        results["ga"] = {
+            "wall_s": round(sum(results[f"ga_b{b}"]["wall_s"]
+                                for b in range(ga_blocks)), 1),
+            "peak_rss_gb": max(results[f"ga_b{b}"]["peak_rss_gb"]
+                               for b in range(ga_blocks)),
+            "rc": 0, "blocks": ga_blocks}
         checkpoint()
     if due("normalize"):
         run_stage("normalize", py + [
