@@ -40,3 +40,34 @@ def test_packed_array_store_roundtrip(tmp_path, fixtures_dir):
     assert len(list((tmp_path / "cache").glob("*.npy"))) == 1
     assert store.load(None) is None
     assert store.load(FileData.from_string("/nonexistent/file.tif")) is None
+
+
+def test_mips_cache_byte_budget(tmp_path, fixtures_dir):
+    """MIPsCache evicts by decoded BYTES as well as entry count (the r5
+    OOM postmortem: an entry-count-only bound is a ~200 GB license at
+    production frame sizes)."""
+    from colormipsearch_tpu.mips import MIPsCache
+    from colormipsearch_tpu.model import ComputeFileType, EMNeuronEntity
+    from colormipsearch_tpu.model.filedata import FileData
+
+    src = fixtures_dir / "ems" / "12191_JRC2018U.tif"
+    one = None
+    cache = MIPsCache(max_size=100, max_bytes=1 << 62)
+    e0 = EMNeuronEntity(entity_id=1, mip_id="m1")
+    e0.compute_files[ComputeFileType.InputColorDepthImage] = \
+        FileData.from_string(str(src))
+    one = cache.load_mip(e0, ComputeFileType.InputColorDepthImage)
+    nbytes = one.image.pixels.nbytes
+    # budget for ~2.5 images: the 4th insert must evict the oldest
+    cache = MIPsCache(max_size=100, max_bytes=int(nbytes * 2.5))
+    for i in range(4):
+        e = EMNeuronEntity(entity_id=10 + i, mip_id=f"m{i}")
+        e.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData.from_string(str(src))
+        cache.load_mip(e, ComputeFileType.InputColorDepthImage)
+    assert len(cache._cache) == 2          # 3rd insert evicted to <= 2.5
+    assert cache._nbytes <= int(nbytes * 2.5)
+    # eviction keeps the MOST recent entries
+    assert (13, ComputeFileType.InputColorDepthImage) in cache._cache
+    cache.clear()
+    assert cache._nbytes == 0
