@@ -155,3 +155,24 @@ def test_border_mirrored_flip_equivalence(fixtures_dir):
     got = oracle.score(target, grad, None)
     assert got.mirrored
     assert got.gradient_area_gap == exp_m_gaps
+
+
+def test_gradient_area_gap_utils_goldens():
+    """GradientAreaGapUtilsTest.scoreCalculator mirrored exactly
+    (cds/GradientAreaGapUtilsTest.java:10-50): shape score + normalized
+    score quadruples, incl. the reference's own 'lower absolute scores
+    higher ranking' quirk cases."""
+    from colormipsearch_tpu.cds.scores import (calculate_2d_shape_score,
+                                               calculate_normalized_score)
+    cases = [
+        # (pix, gap, highExpr, maxPix, maxNeg, shapeScore, normalized)
+        (636, 156, 1897, 679, 1114361, 788, 46833.58),
+        (636, 233, 1644, 679, 1107088, 781, 46833.58),
+        (636, 0, 1644, 679, 1114361, 548, 46833.58),
+        (795, 123, 93, 875, 1606182, 154, 45428.57),
+    ]
+    for pix, gap, he, max_pix, max_neg, exp_shape, exp_norm in cases:
+        s = calculate_2d_shape_score(gap, he)
+        assert s == exp_shape
+        n = calculate_normalized_score(pix, s, max_pix, max_neg)
+        assert abs(n - exp_norm) < 0.1
