@@ -240,28 +240,46 @@ def _build_query_planes_jit(rgb_u8, excluded, slice_table, *,
             border:h - border, border:w - border].set(True)
         q_nonzero = q_nonzero & frame
         q_mask = jnp.where(frame, q_mask, 0)
-    return q_nonzero, q_slice, q_mask, high_expr
+    # [H] active-rows vector: the ONLY thing the host needs for the
+    # scoring path (active_row_range); the planes themselves stay
+    # device-resident
+    row_any = q_nonzero.any(axis=1) | (high_expr > 0).any(axis=1)
+    return q_nonzero, q_slice, q_mask, high_expr, row_any
 
 
-def build_query_planes_device(query_rgb_u8, excluded=None, border: int = 0):
-    """Device query-plane build -> host QueryShapePlanes (the consumers
-    — active_row_range, the per-device upload cache — expect NumPy).
+def build_query_planes_device(query_rgb_u8, excluded=None, border: int = 0,
+                              pull_host: bool = False):
+    """Device query-plane build -> QueryShapePlanes whose [H, W] planes
+    stay RESIDENT on the build device (attached as the scorer's
+    per-device upload cache) — only the [H] active-rows vector comes to
+    the host. Pulling the four planes and re-uploading them cost ~70
+    ms/mask through the dev tunnel, x6.5 the warm scoring cost at
+    realistic (~18) matches/mask. `pull_host=True` additionally
+    materializes the NumPy planes (parity tests, host consumers).
     ROI-mask runs keep the host oracle path (rare; exact-ROI mirror
     semantics need separate plane sets anyway)."""
     from .shape_oracle import QueryShapePlanes
     has_ex = excluded is not None
     ex = jnp.asarray(excluded.astype(bool)) if has_ex else \
         jnp.zeros((1, 1), dtype=bool)
-    q_nonzero, q_slice, q_mask, high_expr = _build_query_planes_jit(
+    q_nonzero, q_slice, q_mask, high_expr, row_any = _build_query_planes_jit(
         jnp.asarray(query_rgb_u8), ex, _device_slice_table(),
         border=border, has_excluded=has_ex)
-    return QueryShapePlanes(
-        q_nonzero=np.asarray(q_nonzero),
-        q_slice=np.asarray(q_slice).astype(np.int32),
-        q_mask=np.asarray(q_mask).astype(np.int32),
-        high_expr=np.asarray(high_expr).astype(np.int32),
+    planes = QueryShapePlanes(
+        q_nonzero=np.asarray(q_nonzero) if pull_host else None,
+        q_slice=np.asarray(q_slice).astype(np.int32) if pull_host else None,
+        q_mask=np.asarray(q_mask).astype(np.int32) if pull_host else None,
+        high_expr=(np.asarray(high_expr).astype(np.int32)
+                   if pull_host else None),
         height=int(query_rgb_u8.shape[0]),
-        width=int(query_rgb_u8.shape[1]))
+        width=int(query_rgb_u8.shape[1]),
+        row_any=np.asarray(row_any))
+    # seed the scorer's per-device cache with the resident arrays
+    # (gradientscores_cmd._qplanes_device dtype contract:
+    # bool/int32/int32/bool), keyed by their actual device
+    dev = next(iter(q_nonzero.devices()))
+    planes._dev = {dev: (q_nonzero, q_slice, q_mask, high_expr > 0)}
+    return planes
 
 
 def build_target_planes_device(cdm_u8, grad_raw, zgap_u8, excluded,

@@ -46,6 +46,12 @@ class QueryShapePlanes:
     high_expr: np.ndarray   # int32 0/1 high-expression mask (dilate60 - dilate20)
     height: int
     width: int
+    # device-resident builds (shape_device.build_query_planes_device)
+    # may leave the [H, W] fields None and provide only this [H] rows
+    # vector + a device-array cache — pulling 7 MB of planes to host
+    # and re-uploading them cost ~70 ms/mask through the dev tunnel,
+    # x6.5 of the warm scoring cost at realistic per-mask match counts
+    row_any: "np.ndarray | None" = None   # bool [H]
 
     def active_row_range(self) -> tuple:
         """Row band outside which every per-pixel term is provably zero:
@@ -53,8 +59,11 @@ class QueryShapePlanes:
         default term, q_mask subset of q_nonzero), the high-expression
         sum needs high_expr. Rows are rounded to multiples of 8 for
         clean device tiling."""
-        rows = np.nonzero(self.q_nonzero.any(axis=1)
-                          | self.high_expr.astype(bool).any(axis=1))[0]
+        if self.row_any is not None:
+            rows = np.nonzero(self.row_any)[0]
+        else:
+            rows = np.nonzero(self.q_nonzero.any(axis=1)
+                              | self.high_expr.astype(bool).any(axis=1))[0]
         if len(rows) == 0:
             return (0, min(64, self.height))
         r0 = (int(rows[0]) // 8) * 8

@@ -643,12 +643,20 @@ def _qplanes_device(qp, device=None):
         import jax
         import jax.numpy as jnp
         import numpy as np
-        arrs = (qp.q_nonzero, qp.q_slice.astype(np.int32),
-                qp.q_mask.astype(np.int32), qp.high_expr.astype(bool))
-        if device is None:
-            dev = tuple(jnp.asarray(a) for a in arrs)
+        if qp.q_nonzero is None:
+            # device-resident build (shape_device.build_query_planes_
+            # device): planes live on one device already — replicate
+            # device-to-device, never through the host
+            src = next(iter(cache.values()))
+            dev = (src if device is None
+                   else tuple(jax.device_put(a, device) for a in src))
         else:
-            dev = tuple(jax.device_put(a, device) for a in arrs)
+            arrs = (qp.q_nonzero, qp.q_slice.astype(np.int32),
+                    qp.q_mask.astype(np.int32), qp.high_expr.astype(bool))
+            if device is None:
+                dev = tuple(jnp.asarray(a) for a in arrs)
+            else:
+                dev = tuple(jax.device_put(a, device) for a in arrs)
         cache[device] = dev
     return dev
 
@@ -707,7 +715,7 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
     the mirrored-orientation plane set for the ROI-mask case."""
     tplanes = []
     scored_matches = []
-    want_shape = qplanes.q_nonzero.shape
+    want_shape = (qplanes.height, qplanes.width)
     _prefetch_planes([m.matched_image for m in part if m.matched_image],
                      cache, args, excluded, planes_cache)
     for m in part:

@@ -270,7 +270,8 @@ def test_device_query_planes_match_oracle(fixtures_dir, use_excluded,
     excluded = label_regions_mask(q.height, q.width) if use_excluded \
         else None
     host = build_query_shape_planes(q, excluded, None, border)
-    dev = build_query_planes_device(q.pixels, excluded, border)
+    dev = build_query_planes_device(q.pixels, excluded, border,
+                                    pull_host=True)
     np.testing.assert_array_equal(np.asarray(dev.q_nonzero), host.q_nonzero)
     np.testing.assert_array_equal(np.asarray(dev.q_slice), host.q_slice)
     np.testing.assert_array_equal(np.asarray(dev.q_mask), host.q_mask)
@@ -286,6 +287,45 @@ def test_device_query_planes_mask_statistics(fixtures_dir):
     from colormipsearch_tpu.cds.shape_device import build_query_planes_device
     q = load_image(fixtures_dir / "ems" / "12191_JRC2018U_FL.tif")
     excluded = label_regions_mask(q.height, q.width)
-    planes = build_query_planes_device(q.pixels, excluded)
+    planes = build_query_planes_device(q.pixels, excluded,
+                                       pull_host=True)
     assert int(planes.q_mask.sum()) == 17340
     assert int(planes.high_expr.sum()) == 70640
+
+
+def test_device_query_planes_resident_scoring(fixtures_dir):
+    """The default (device-RESIDENT) query-plane build scores
+    identically to host-built planes through score_tplanes_batched —
+    no host round-trip of the 7 MB plane set (x6.5 of the warm per-mask
+    cost at realistic match counts on the dev tunnel)."""
+    import types
+    import numpy as np
+    import colormipsearch_tpu.cmd.gradientscores_cmd as gc
+    from colormipsearch_tpu.imageproc import load_image, label_regions_mask
+    from colormipsearch_tpu.cds.shape_device import build_query_planes_device
+    from colormipsearch_tpu.cds.shape_oracle import build_query_shape_planes
+    q = load_image(fixtures_dir / "ems" / "12191_JRC2018U.tif")
+    excluded = label_regions_mask(q.height, q.width)
+    rng = np.random.default_rng(3)
+    raws = []
+    for _ in range(3):
+        cdm = rng.integers(0, 256, size=(q.height, q.width, 3)).astype(
+            np.uint8)
+        cdm[rng.random((q.height, q.width)) < 0.8] = 0
+        grad = rng.integers(0, 300, size=(q.height, q.width)).astype(
+            np.uint16)
+        raws.append((cdm, (grad, False), None))
+    tplanes = gc._build_planes_device(
+        raws, types.SimpleNamespace(maskThreshold=20), excluded)
+    host = build_query_shape_planes(q, excluded)
+    resident = build_query_planes_device(q.pixels, excluded)  # default
+    assert resident.q_nonzero is None          # stayed on device
+    assert resident.active_row_range() == host.active_row_range()
+    r0, r1 = host.active_row_range()
+    g_h, h_h, m_h = gc.score_tplanes_batched(
+        host, tplanes, mirror=True, targets_per_batch=4, r0=r0, r1=r1)
+    g_r, h_r, m_r = gc.score_tplanes_batched(
+        resident, tplanes, mirror=True, targets_per_batch=4, r0=r0, r1=r1)
+    np.testing.assert_array_equal(g_h, g_r)
+    np.testing.assert_array_equal(h_h, h_r)
+    np.testing.assert_array_equal(m_h, m_r)
