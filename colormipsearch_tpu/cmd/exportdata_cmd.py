@@ -603,7 +603,12 @@ def _load_lm_samples(args):
                 for s in client.retrieve_lm_samples_by_name(missing):
                     if s.name:
                         cache[s.name] = s
-            return {n: cache[n] for n in names if n in cache}
+                for n in missing:
+                    # negative-cache unresolvable names too: without
+                    # this every mask group re-fetches the same misses
+                    cache.setdefault(n, None)
+            return {n: cache[n] for n in names
+                    if cache.get(n) is not None}
         return lookup
     return lambda names: {}
 
@@ -646,14 +651,19 @@ def _export_ppp_matches(args) -> int:
 
     offline_lm_images = None
     if getattr(args, "published_lm_images", None):
+        # index by sampleRef once — per-group linear scans would be
+        # O(masks x docs) on production-sized dumps
+        offline_lm_images = {}
         with open(args.published_lm_images) as f:
-            offline_lm_images = json.load(f)
+            for d in json.load(f):
+                offline_lm_images.setdefault(d.get("sampleRef"),
+                                             []).append(d)
 
     def find_lm_images_by_ref(sample_refs) -> Dict[str, List[dict]]:
         if offline_lm_images is not None:
-            docs = [d for d in offline_lm_images
-                    if d.get("sampleRef") in sample_refs]
-        elif store is not None and hasattr(store, "find_published_lm_images"):
+            return {r: offline_lm_images[r] for r in sample_refs
+                    if r in offline_lm_images}
+        if store is not None and hasattr(store, "find_published_lm_images"):
             docs = store.find_published_lm_images(
                 sample_refs=sorted(sample_refs)) if sample_refs else []
         else:

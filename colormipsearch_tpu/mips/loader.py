@@ -166,8 +166,13 @@ class MIPsCache:
                 return NeuronMIP(neuron, neuron.compute_file(file_type), img)
         mip = self._load(neuron, file_type)
         with self._lock:
+            # two threads can race the same miss (e.g. the lookahead
+            # prefetch vs the inline path); only count bytes for the
+            # entry actually ADDED, or _nbytes drifts upward until the
+            # byte budget evicts the cache into permanent thrash
+            if key not in self._cache:
+                self._nbytes += self._image_nbytes(mip.image)
             self._cache[key] = mip.image
-            self._nbytes += self._image_nbytes(mip.image)
             self._cache.move_to_end(key)
             while len(self._cache) > self.max_size or \
                     (self._nbytes > self.max_bytes and len(self._cache) > 1):
